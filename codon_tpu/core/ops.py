@@ -1,0 +1,96 @@
+"""Ops backend abstraction.
+
+Models in codon_tpu are written against a tiny `Ops` interface instead of raw
+lax calls. This is what makes one model definition run in three execution
+regimes without edits:
+
+  * `XlaOps`      — single device (or batch-DP under pjit): plain XLA convs.
+  * `ShardedOps`  — spatially-tiled execution inside `shard_map`: convs do
+                    ppermute halo exchange along the sharded H axis, and the
+                    global pools that feed the CAC channel gates do
+                    psum/pmax collectives so tiled inference is bit-exact
+                    with untiled (see codon_tpu/parallel/ops.py).
+  * masked        — both backends take an optional validity mask so a batch
+                    of differently-sized images padded to one shape computes
+                    EXACTLY what per-image execution would (the reference
+                    runs strictly per-image, batch=1: CODON_X4/test.py:109).
+
+Layouts are TPU-native: NHWC activations, HWIO kernels — C rides the 128-wide
+lane dimension (C=64/128 throughout CODONNet), spatial dims are free.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d_nhwc(x: jax.Array, w: jax.Array, *, padding="SAME",
+                acc_dtype=jnp.float32, precision=None) -> jax.Array:
+    """Stride-1 NHWC/HWIO conv. Accumulates in acc_dtype, returns x.dtype.
+
+    `precision`: lax.Precision for fp32 inputs on the MXU — on TPU, fp32
+    convs default to a fast bf16-ish path; parity-grade fp32 needs HIGHEST.
+    """
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_dtype,
+        precision=precision,
+    )
+    return out.astype(x.dtype)
+
+
+class Ops:
+    """Interface. `mask` is (N, H, W, 1) with 1.0 on valid pixels, or None."""
+
+    def conv2d(self, x, w, *, padding="SAME"):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def global_avg(self, x, mask=None):
+        raise NotImplementedError
+
+    def global_max(self, x, mask=None):
+        raise NotImplementedError
+
+    def apply_mask(self, x, mask=None):
+        return x if mask is None else x * mask.astype(x.dtype)
+
+
+class XlaOps(Ops):
+    """Single-device / data-parallel backend: let XLA do everything.
+
+    With a mask, every conv output is re-masked so zero padding outside each
+    image's valid region behaves identically to SAME zero-padding of an
+    unpadded image — making batched mixed-size inference exact.
+    """
+
+    def __init__(self, acc_dtype=jnp.float32, precision=None):
+        self.acc_dtype = acc_dtype
+        self.precision = precision
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None):
+        out = conv2d_nhwc(x, w, padding=padding, acc_dtype=self.acc_dtype,
+                          precision=self.precision)
+        return self.apply_mask(out, mask)
+
+    def global_avg(self, x, mask=None):
+        """Mean over H, W -> (N, 1, 1, C)."""
+        if mask is None:
+            return jnp.mean(x, axis=(1, 2), keepdims=True)
+        m = mask.astype(x.dtype)
+        s = jnp.sum(x * m, axis=(1, 2), keepdims=True)
+        n = jnp.sum(m, axis=(1, 2), keepdims=True)
+        return s / n
+
+    def global_max(self, x, mask=None):
+        """Max over H, W -> (N, 1, 1, C)."""
+        if mask is None:
+            return jnp.max(x, axis=(1, 2), keepdims=True)
+        neg = jnp.asarray(-jnp.inf, x.dtype)
+        xm = jnp.where(mask.astype(bool), x, neg)
+        return jnp.max(xm, axis=(1, 2), keepdims=True)

@@ -1,0 +1,276 @@
+"""CODONNet — the flagship cross-domain attention depth-SR network, TPU-native.
+
+Functional JAX re-design of the reference network (behavioral spec:
+/root/reference/CODON_X4/CODON_x4.py:18-132 and CODON_X16/CODON_x16.py:92-202;
+CAC gates: /root/reference/CODON_X4/CAC_module.py:26-94). Same math, different
+architecture: NHWC activations / HWIO kernels sized to the MXU, a single
+parameter pytree with the per-stage CAC parameters stacked on a leading axis,
+and all global reductions routed through an `Ops` backend so the identical
+model function runs single-device, batched-DP, or spatially sharded with
+psum'd attention statistics.
+
+Structure (all convs stride-1 shape-preserving, bias-free; width 64):
+  depth stem:  input(1->64,3x3)  -> conv_input(64->64,3x3)        [relu each]
+  color stem:  input_c(1->64,3x3)-> conv_input_c(64->64,3x3)
+  5x interleaved MC+CAC stages (shared conv weights, per-stage CAC weights):
+    depth cell: cat(relu(conv1 3x3), relu(conv2 5x5)) -> relu(conv3 5x5,128)
+                -> confuse 1x1 -> 64
+    color cell: cat(relu(conv4 5x5), relu(conv5 3x3)) [cat order: conv5 first]
+                -> relu(conv6 5x5,128) -> confuse_c 1x1 -> 64
+    CAC: cat(out_c, out) [color first] -> channel gate (global avg+max pool
+         -> MLP 128->8->64 -> sigmoid) * spatial gate (channel max+mean ->
+         5x5 conv 2->1 -> sigmoid); both towers multiplied by the same gate,
+         then long skip +stem.
+  fusion: cat(out, out_c) -> conv7 3x3 128->64; 3x fusion MC stages
+          (conv8 5x5 || conv9 3x3 -> cat -> conv10 5x5,128 -> confuse_fuse 1x1
+          -> +fuse); head: relu(conv11 3x3) -> output 64->1 3x3 -> +x.
+
+The X4/X8 release checkpoints additionally carry dead parameters
+(`attention_c5`/`attention_s5`, never used in forward — CODON_x4.py:64-65);
+`CodonConfig.dead_heads=True` materializes them for checkpoint compatibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from codon_tpu.core.ops import Ops, XlaOps
+from codon_tpu.core.params import conv_kernel_init, linear_init, DTypePolicy, FP32
+
+
+@dataclasses.dataclass(frozen=True)
+class CodonConfig:
+    width: int = 64
+    num_mc: int = 5            # cross-attention MC stages
+    num_fuse: int = 3          # fusion MC stages
+    use_cac: bool = True       # False -> BaseNet_RMCR_fuseRMCR-style (no gates)
+    cac_reduction: int = 16    # channel-gate MLP bottleneck: 2W/reduction
+    spatial_kernel: int = 5    # CAC spatial gate conv kernel
+    dead_heads: bool = False   # X4/X8 checkpoint-compat unused params
+    dtypes: DTypePolicy = FP32
+
+    @property
+    def cat_width(self) -> int:
+        return 2 * self.width
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init_codon_params(key: jax.Array, cfg: CodonConfig = CodonConfig()):
+    """Build the CODONNet parameter pytree.
+
+    Conv kernels: HWIO, N(0, sqrt(2/(k^2*C_out))) as in the reference init.
+    CAC params stacked over stages on a leading axis of size num_mc.
+    """
+    w, cw = cfg.width, cfg.cat_width
+    hid = cw // cfg.cac_reduction
+    keys = iter(jax.random.split(key, 64))
+    nk = lambda: next(keys)
+    pd = cfg.dtypes.param_dtype
+
+    def conv(kh, ci, co):
+        return conv_kernel_init(nk(), kh, kh, ci, co, dtype=pd)
+
+    params = {
+        # depth tower
+        "input": conv(3, 1, w),
+        "conv_input": conv(3, w, w),
+        "conv1": conv(3, w, w),
+        "conv2": conv(5, w, w),
+        "conv3": conv(5, cw, cw),
+        "confuse": conv(1, cw, w),
+        # color tower
+        "input_c": conv(3, 1, w),
+        "conv_input_c": conv(3, w, w),
+        "conv4": conv(5, w, w),
+        "conv5": conv(3, w, w),
+        "conv6": conv(5, cw, cw),
+        "confuse_c": conv(1, cw, w),
+        # fusion trunk
+        "conv7": conv(3, cw, w),
+        "conv8": conv(5, w, w),
+        "conv9": conv(3, w, w),
+        "conv10": conv(5, cw, cw),
+        "confuse_fuse": conv(1, cw, w),
+        "conv11": conv(3, w, w),
+        "output": conv(3, w, 1),
+    }
+
+    if cfg.use_cac:
+        ch_w1, ch_b1, ch_w2, ch_b2, sp_w = [], [], [], [], []
+        sk = cfg.spatial_kernel
+        for _ in range(cfg.num_mc):
+            w1, b1 = linear_init(nk(), cw, hid, dtype=pd)
+            w2, b2 = linear_init(nk(), hid, w, dtype=pd)
+            ch_w1.append(w1); ch_b1.append(b1)
+            ch_w2.append(w2); ch_b2.append(b2)
+            sp_w.append(conv_kernel_init(nk(), sk, sk, 2, 1, dtype=pd))
+        params["cac"] = {
+            "ch_w1": jnp.stack(ch_w1), "ch_b1": jnp.stack(ch_b1),
+            "ch_w2": jnp.stack(ch_w2), "ch_b2": jnp.stack(ch_b2),
+            "sp_w": jnp.stack(sp_w),
+        }
+
+    if cfg.dead_heads:
+        # Unused in forward; carried so X4/X8 reference checkpoints round-trip
+        # (reference: CODON_x4.py:64-65, attention/ResCBAM.py:26-35).
+        hid5 = w // cfg.cac_reduction
+        w1, b1 = linear_init(nk(), w, hid5, dtype=pd)
+        w2, b2 = linear_init(nk(), hid5, w, dtype=pd)
+        params["attention_c5"] = {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+        params["attention_s5"] = {
+            "sp_w": conv_kernel_init(nk(), cfg.spatial_kernel,
+                                     cfg.spatial_kernel, 2, 1, dtype=pd)
+        }
+
+    return params
+
+
+# --------------------------------------------------------------------------
+# CAC gates
+# --------------------------------------------------------------------------
+
+def cac_channel_gate(x, w1, b1, w2, b2, ops: Ops, mask=None):
+    """Global avg+max pool over HW -> shared MLP -> sigmoid.
+
+    x: (N, H, W, 2W) concat of both towers; returns (N, 1, 1, W) gate.
+    Reference semantics: CAC_module.py:38-63 (mlp applied to each pooled
+    vector separately, summed pre-sigmoid; output half the input channels).
+    """
+    avg = ops.global_avg(x, mask)[:, 0, 0, :]   # (N, 2W)
+    mx = ops.global_max(x, mask)[:, 0, 0, :]
+
+    def mlp(v):
+        h = jax.nn.relu(v @ w1.astype(v.dtype) + b1.astype(v.dtype))
+        return h @ w2.astype(v.dtype) + b2.astype(v.dtype)
+
+    gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))    # (N, W)
+    return gate[:, None, None, :]
+
+
+def cac_spatial_gate(x, sp_w, ops: Ops, mask=None):
+    """Channel max+mean -> 5x5 conv (2->1) -> sigmoid. (N,H,W,1) gate.
+
+    Reference semantics: CAC_module.py:78-94 (max first, then mean).
+    """
+    pooled = jnp.concatenate(
+        [jnp.max(x, axis=-1, keepdims=True),
+         jnp.mean(x, axis=-1, keepdims=True)], axis=-1)
+    logits = ops.conv2d(pooled, sp_w, mask=mask)
+    return jax.nn.sigmoid(logits)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
+                  ops: Optional[Ops] = None, mask=None):
+    """Run CODONNet. depth/color: (N, H, W, 1) in [0, 1]. Returns (N, H, W, 1).
+
+    `mask` (N, H, W, 1, optional): validity mask for padded batches; keeps
+    batched mixed-size inference exact w.r.t. per-image execution.
+    """
+    if ops is None:
+        ops = XlaOps(acc_dtype=cfg.dtypes.acc_dtype, precision=cfg.dtypes.precision)
+    cdt = cfg.dtypes.compute_dtype
+    relu = jax.nn.relu
+
+    x = depth.astype(cdt)
+    y = color.astype(cdt)
+    if mask is not None:
+        mask = mask.astype(cdt)
+        x = x * mask
+        y = y * mask
+    p = {k: v for k, v in params.items()}
+
+    def conv(name_or_w, t):
+        w = p[name_or_w] if isinstance(name_or_w, str) else name_or_w
+        return ops.conv2d(t, w, mask=mask)
+
+    residual = x
+    inputs = relu(conv("conv_input", relu(conv("input", x))))
+    inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
+    out, out_c = inputs, inputs_c
+
+    cac = p.get("cac") if cfg.use_cac else None
+
+    for i in range(cfg.num_mc):
+        # dual multi-scale cells (3x3 || 5x5 -> 5x5(2W) -> 1x1)
+        d_cat = jnp.concatenate([relu(conv("conv1", out)),
+                                 relu(conv("conv2", out))], axis=-1)
+        c_cat = jnp.concatenate([relu(conv("conv4", out_c)),
+                                 relu(conv("conv5", out_c))], axis=-1)
+        out = conv("confuse", relu(conv("conv3", d_cat)))
+        out_c = conv("confuse_c", relu(conv("conv6", c_cat)))
+
+        if cac is not None:
+            # Fcat = cat(color, depth) — color first (CODON_x4.py:85)
+            fcat = jnp.concatenate([out_c, out], axis=-1)
+            ch = cac_channel_gate(fcat, cac["ch_w1"][i], cac["ch_b1"][i],
+                                  cac["ch_w2"][i], cac["ch_b2"][i], ops, mask)
+            sp = cac_spatial_gate(fcat, cac["sp_w"][i], ops, mask)
+            ad = ch * sp                      # (N, H, W, W) via broadcast
+            out = out * ad
+            out_c = out_c * ad
+
+        out = out + inputs
+        out_c = out_c + inputs_c
+
+    fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
+    out_f = fuse
+    for _ in range(cfg.num_fuse):
+        f_cat = jnp.concatenate([relu(conv("conv8", out_f)),
+                                 relu(conv("conv9", out_f))], axis=-1)
+        out_f = conv("confuse_fuse", relu(conv("conv10", f_cat))) + fuse
+
+    out = relu(conv("conv11", out_f))
+    return (conv("output", out) + residual).astype(jnp.float32)
+
+
+def sequential_tower_forward(params, depth, color, *,
+                             cfg: CodonConfig = CodonConfig(),
+                             ops: Optional[Ops] = None, mask=None):
+    """BaseNet_RMCR_fuseRMCR semantics: towers run sequentially, no CAC.
+
+    Behavioral spec: /root/reference/CODON_X16/CODON_x16.py:16-90 (same cell
+    concat order, conv4-out then conv5-out, as the interleaved net; only the
+    CODON_X16/model/CODONet.py:146-150 variant swaps it).
+    """
+    cfg = dataclasses.replace(cfg, use_cac=False)
+    if ops is None:
+        ops = XlaOps(acc_dtype=cfg.dtypes.acc_dtype, precision=cfg.dtypes.precision)
+    relu = jax.nn.relu
+    cdt = cfg.dtypes.compute_dtype
+    x, y = depth.astype(cdt), color.astype(cdt)
+    conv = lambda n, t: ops.conv2d(t, params[n], mask=mask)
+
+    residual = x
+    inputs = relu(conv("conv_input", relu(conv("input", x))))
+    out = inputs
+    for _ in range(cfg.num_mc):
+        cat = jnp.concatenate([relu(conv("conv1", out)),
+                               relu(conv("conv2", out))], axis=-1)
+        out = conv("confuse", relu(conv("conv3", cat))) + inputs
+
+    inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
+    out_c = inputs_c
+    for _ in range(cfg.num_mc):
+        cat = jnp.concatenate([relu(conv("conv4", out_c)),
+                               relu(conv("conv5", out_c))], axis=-1)
+        out_c = conv("confuse_c", relu(conv("conv6", cat))) + inputs_c
+
+    fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
+    out_f = fuse
+    for _ in range(cfg.num_fuse):
+        cat = jnp.concatenate([relu(conv("conv8", out_f)),
+                               relu(conv("conv9", out_f))], axis=-1)
+        out_f = conv("confuse_fuse", relu(conv("conv10", cat))) + fuse
+
+    out = relu(conv("conv11", out_f))
+    return (conv("output", out) + residual).astype(jnp.float32)

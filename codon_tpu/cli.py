@@ -1,0 +1,210 @@
+"""codon_tpu command-line driver.
+
+One CLI replacing the reference's three per-scale test.py scripts
+(/root/reference/CODON_X4/test.py etc.), minus their bugs: no fix_pic
+NameError (test.py:139), RMSE always computed on the freshly-produced output
+(the X16 driver scored archived PNGs instead — CODON_X16/test.py:143), and
+dataset paths are flags instead of commented-out hardcoded strings.
+
+Subcommands
+-----------
+eval     run CODONNet over a scale directory, write PNGs, report RMSE/SSIM
+golden   score the reference's archived output/ PNGs (reproduces BASELINE.md)
+convert  torch .pth -> native .npz checkpoint
+info     print model/param summary and device info
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="codon_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("eval", help="run the model over a dataset")
+    e.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
+    e.add_argument("--data-root", default="/root/reference",
+                   help="directory containing CODON_X{scale}/")
+    e.add_argument("--data-dir", default=None,
+                   help="explicit scale dir (overrides --data-root)")
+    e.add_argument("--ckpt", default=None,
+                   help=".npz or .pth checkpoint; random init if omitted")
+    e.add_argument("--batch", type=int, default=4)
+    e.add_argument("--dtype", choices=("bf16", "fp32"), default="bf16")
+    e.add_argument("--pad-multiple", type=int, default=32)
+    e.add_argument("--out", default="CODON_result_save")
+    e.add_argument("--no-save", action="store_true")
+    e.add_argument("--log", default=None, help="tee stdout to this file")
+    e.add_argument("--variant", default="codon",
+                   help="model variant name (see models.variants registry)")
+    e.add_argument("--tile-devices", type=int, default=0,
+                   help=">1: spatially-tiled inference over N devices")
+
+    g = sub.add_parser("golden", help="score archived reference outputs")
+    g.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
+    g.add_argument("--data-root", default="/root/reference")
+
+    c = sub.add_parser("convert", help="torch .pth -> .npz")
+    c.add_argument("--pth", required=True)
+    c.add_argument("--npz", required=True)
+    c.add_argument("--no-dead-heads", action="store_true",
+                   help="X16-style checkpoints without attention_{c5,s5}")
+
+    i = sub.add_parser("info", help="model + device summary")
+    i.add_argument("--variant", default="codon")
+    return p
+
+
+def _scale_dir(args) -> str:
+    if getattr(args, "data_dir", None):
+        return args.data_dir
+    return os.path.join(args.data_root, f"CODON_X{args.scale}")
+
+
+def _load_params(args, cfg):
+    import jax
+    from codon_tpu.checkpoint import load_npz, load_pth
+    from codon_tpu.models.codon_net import init_codon_params
+
+    if args.ckpt is None:
+        print("WARNING: no --ckpt given; using random init "
+              "(outputs will not match the reference).")
+        return init_codon_params(jax.random.PRNGKey(0), cfg)
+    if args.ckpt.endswith(".pth"):
+        params, epoch = load_pth(args.ckpt, cfg)
+        print(f"loaded torch checkpoint {args.ckpt} (epoch {epoch})")
+        return params
+    params = load_npz(args.ckpt)
+    print(f"loaded native checkpoint {args.ckpt}")
+    return params
+
+
+def cmd_eval(args) -> int:
+    import jax
+    from codon_tpu.core.params import BF16, FP32
+    from codon_tpu.data.io import discover_pairs, imwrite_gray
+    from codon_tpu.data.pipeline import batched_loader
+    from codon_tpu.metrics import masked_rmse, ssim_exact
+    from codon_tpu.models.variants import get_variant
+    from codon_tpu.utils.logging import Logger
+
+    log_ctx = Logger(args.log) if args.log else None
+    if log_ctx:
+        log_ctx.__enter__()
+    try:
+        scale_dir = _scale_dir(args)
+        dtypes = BF16 if args.dtype == "bf16" else FP32
+        variant = get_variant(args.variant, dtypes=dtypes)
+        params = _load_params(args, variant.cfg)
+        names = discover_pairs(scale_dir)
+        print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
+              f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
+
+        if args.tile_devices > 1:
+            from codon_tpu.parallel.tiling import make_tiled_forward
+            fwd = make_tiled_forward(variant, args.tile_devices)
+        else:
+            fwd = jax.jit(
+                lambda p, d, c, m: variant.forward(p, d, c, mask=m))
+
+        rmse_sum = ssim_sum = 0.0
+        n = 0
+        t_total = t_compute = 0.0
+        t0_all = time.time()
+        for batch in batched_loader(scale_dir, names, args.batch,
+                                    args.pad_multiple):
+            t0 = time.time()
+            out = fwd(params, batch.depth, batch.color, batch.mask)
+            out = np.asarray(out)  # blocks: includes D2H
+            t_compute += time.time() - t0
+            for i, name in enumerate(batch.names):
+                h, w = batch.sizes[i]
+                img = np.clip(out[i, :h, :w, 0], 0.0, 1.0)
+                img_u8 = (img * 255).astype(np.uint8)
+                if not args.no_save:
+                    imwrite_gray(os.path.join(args.out, name + ".png"),
+                                 img_u8)
+                label = batch.labels[i]
+                if label is not None:
+                    r = masked_rmse(label, img_u8)
+                    s = ssim_exact(label / 255, img_u8 / 255)
+                    rmse_sum += r
+                    ssim_sum += s
+                    n += 1
+                    print(f"{name}.png {r} {s}")
+        t_total = time.time() - t0_all
+        if n:
+            print(n)
+            print(rmse_sum / n, ssim_sum / n)
+        print(f"images/sec (end-to-end): {len(names) / t_total:.3f}  "
+              f"(compute+D2H only: {len(names) / max(t_compute, 1e-9):.3f})")
+        return 0
+    finally:
+        if log_ctx:
+            log_ctx.__exit__(None, None, None)
+
+
+def cmd_golden(args) -> int:
+    from codon_tpu.data.io import imread_gray
+    from codon_tpu.metrics import masked_rmse, ssim_exact
+
+    scale_dir = _scale_dir(args)
+    out_dir = os.path.join(scale_dir, "output")
+    names = sorted(os.path.splitext(f)[0] for f in os.listdir(out_dir))
+    rmse_sum = ssim_sum = 0.0
+    for name in names:
+        out = imread_gray(os.path.join(out_dir, name + ".png"))
+        label = imread_gray(os.path.join(scale_dir, "input_label",
+                                         name + ".png"))
+        r = masked_rmse(label, out)
+        s = ssim_exact(label / 255, out / 255)
+        rmse_sum += r
+        ssim_sum += s
+        print(f"{name}.png {r} {s}")
+    print(len(names))
+    print(rmse_sum / len(names), ssim_sum / len(names))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from codon_tpu.checkpoint import load_pth, save_npz
+    from codon_tpu.models.codon_net import CodonConfig
+
+    cfg = CodonConfig(dead_heads=not args.no_dead_heads)
+    params, epoch = load_pth(args.pth, cfg)
+    save_npz(args.npz, params)
+    print(f"converted {args.pth} (epoch {epoch}) -> {args.npz}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+    from codon_tpu.core.params import param_count
+    from codon_tpu.models.variants import get_variant, list_variants
+
+    print(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    variant = get_variant(args.variant)
+    params = variant.init(jax.random.PRNGKey(0))
+    print(f"variant '{args.variant}': {param_count(params):,} params")
+    print("available variants:", ", ".join(list_variants()))
+    return 0
+
+
+def main(argv=None) -> int:
+    from codon_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = _build_argparser().parse_args(argv)
+    return {"eval": cmd_eval, "golden": cmd_golden,
+            "convert": cmd_convert, "info": cmd_info}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

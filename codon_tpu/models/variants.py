@@ -1,0 +1,91 @@
+"""Model-variant registry.
+
+The reference ships ~23 ablation networks as copy-pasted classes in one
+3395-line file (/root/reference/CODON_X4/base_net_withoutBN.py, catalog in
+SURVEY.md §2.2). Here variants are configuration, not copy-paste: each entry
+pairs a CodonConfig/forward-fn combination under a stable name. The zoo
+grows in models/zoo.py; this module owns the registry surface.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+
+from codon_tpu.core.params import DTypePolicy, FP32
+from codon_tpu.models.codon_net import (CodonConfig, codon_forward,
+                                        init_codon_params,
+                                        sequential_tower_forward)
+
+
+@dataclasses.dataclass(frozen=True)
+class Variant:
+    name: str
+    cfg: CodonConfig
+    init_fn: Callable
+    forward_fn: Callable
+    doc: str = ""
+
+    def init(self, key):
+        return self.init_fn(key, self.cfg)
+
+    def forward(self, params, depth, color, mask=None, ops=None):
+        return self.forward_fn(params, depth, color, cfg=self.cfg,
+                               mask=mask, ops=ops)
+
+
+_REGISTRY: Dict[str, Callable[[DTypePolicy], Variant]] = {}
+
+
+def register(name: str, doc: str = ""):
+    def deco(builder):
+        _REGISTRY[name] = (builder, doc)
+        return builder
+    return deco
+
+
+def get_variant(name: str, dtypes: DTypePolicy = FP32) -> Variant:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown variant '{name}'; available: {sorted(_REGISTRY)}")
+    builder, doc = _REGISTRY[name]
+    v = builder(dtypes)
+    return dataclasses.replace(v, doc=doc)
+
+
+def list_variants():
+    return sorted(_REGISTRY)
+
+
+@register("codon", "published CODONNet, X4/X8 flavor (incl. dead heads; "
+          "reference CODON_x4.py:18)")
+def _codon(dtypes):
+    cfg = CodonConfig(dead_heads=True, dtypes=dtypes)
+    return Variant("codon", cfg, init_codon_params, codon_forward)
+
+
+@register("codon_x16", "CODONNet without dead attention heads "
+          "(reference CODON_x16.py:92)")
+def _codon_x16(dtypes):
+    cfg = CodonConfig(dead_heads=False, dtypes=dtypes)
+    return Variant("codon_x16", cfg, init_codon_params, codon_forward)
+
+
+@register("rmcr_fuse_rmcr", "attention-free CODON skeleton, sequential "
+          "towers (reference CODON_x16.py:16, base_net_withoutBN.py:1882)")
+def _rmcr(dtypes):
+    cfg = CodonConfig(use_cac=False, dtypes=dtypes)
+    return Variant("rmcr_fuse_rmcr", cfg, init_codon_params,
+                   sequential_tower_forward)
+
+
+# the extended ablation zoo registers itself on import
+def _load_zoo():
+    try:
+        import codon_tpu.models.zoo  # noqa: F401
+    except ImportError:
+        pass
+
+
+_load_zoo()

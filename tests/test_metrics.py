@@ -1,0 +1,93 @@
+"""Metric parity: golden numbers from BASELINE.md + scipy/jnp agreement.
+
+The golden values were computed from the reference's own artifacts with the
+reference's own metric code (BASELINE.md) — reproducing them through
+codon_tpu.metrics proves metric-semantics parity end to end.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_available
+from codon_tpu.metrics import (masked_rmse, masked_rmse_jnp, ssim_exact,
+                               ssim_exact_jnp)
+
+REF = "/root/reference"
+
+GOLDEN = {  # scale -> (mean RMSE, mean SSIM) from BASELINE.md
+    4: (1.7779, 0.9542),
+    8: (3.4789, 0.9370),
+    16: (5.8032, 0.9097),
+}
+
+PER_IMAGE_X4 = {  # BASELINE.md per-image spot checks
+    "Art": (2.6415, 0.9770),
+    "Tsukuba": (3.2363, 0.9858),
+}
+
+
+def _load(scale, name, kind):
+    import cv2
+    p = os.path.join(REF, f"CODON_X{scale}", kind, f"{name}.png")
+    img = cv2.imread(p, 0)
+    assert img is not None, p
+    return img
+
+
+def _images(scale):
+    import cv2  # noqa
+    d = os.path.join(REF, f"CODON_X{scale}", "output")
+    return sorted(os.path.splitext(f)[0] for f in os.listdir(d))
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference data")
+@pytest.mark.parametrize("scale", [4, 8, 16])
+def test_golden_means(scale):
+    rmses, ssims = [], []
+    for name in _images(scale):
+        out = _load(scale, name, "output")
+        label = _load(scale, name, "input_label")
+        rmses.append(masked_rmse(label, out))
+        ssims.append(ssim_exact(label / 255, out / 255))
+    want_rmse, want_ssim = GOLDEN[scale]
+    assert abs(np.mean(rmses) - want_rmse) < 5e-4, np.mean(rmses)
+    assert abs(np.mean(ssims) - want_ssim) < 5e-4, np.mean(ssims)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference data")
+def test_golden_per_image_x4():
+    for name, (want_rmse, want_ssim) in PER_IMAGE_X4.items():
+        out = _load(4, name, "output")
+        label = _load(4, name, "input_label")
+        assert abs(masked_rmse(label, out) - want_rmse) < 5e-4
+        assert abs(ssim_exact(label / 255, out / 255) - want_ssim) < 5e-4
+
+
+def test_rmse_jnp_matches_host():
+    rng = np.random.RandomState(0)
+    label = (rng.rand(37, 41) * 255).astype(np.uint8)
+    label[label < 30] = 0  # some invalid pixels
+    out = (rng.rand(37, 41) * 255).astype(np.uint8)
+    host = masked_rmse(label, out)
+    dev = float(masked_rmse_jnp(label[None].astype(np.float64),
+                                out[None].astype(np.float64))[0])
+    assert abs(host - dev) < 1e-3  # jax x64 off: f32 on device
+
+
+def test_ssim_jnp_matches_scipy():
+    rng = np.random.RandomState(1)
+    a = rng.rand(37, 41)
+    b = np.clip(a + 0.05 * rng.randn(37, 41), 0, 1)
+    host = ssim_exact(a, b)
+    dev = float(ssim_exact_jnp(a[None], b[None])[0])
+    assert abs(host - dev) < 1e-6
+
+
+def test_ssim_jnp_batched_f32_close():
+    rng = np.random.RandomState(2)
+    a = rng.rand(3, 32, 48).astype(np.float32)
+    b = np.clip(a + 0.03 * rng.randn(3, 32, 48).astype(np.float32), 0, 1)
+    dev = np.asarray(ssim_exact_jnp(a, b))
+    for i in range(3):
+        assert abs(dev[i] - ssim_exact(a[i], b[i])) < 1e-4

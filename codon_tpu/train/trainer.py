@@ -1,0 +1,87 @@
+"""Training step: optax optimizer + masked loss, DP x spatial sharding.
+
+The reference ships NO training code (its argparse mentions --batchSize at
+/root/reference/CODON_X4/test.py:22 but no loop exists) and its .pth
+checkpoints are absent from the release mount — so the rebuild's trainer is
+both a completeness component and the path to real weights.
+
+Design: loss/grad live at the jit level; the forward may be a bare
+shard_map'd function (spatial tiling + DP), through which JAX
+differentiates — psum/pmax/ppermute all have transpose rules, so the
+halo-exchange convs and collective'd CAC stats train exactly like the
+single-device model.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from codon_tpu.parallel.tiling import make_sharded_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    loss: str = "l1"               # "l1" | "l2" (SR-standard choices)
+    clip_norm: Optional[float] = None
+    weight_decay: float = 0.0
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(cfg: TrainConfig):
+    parts = []
+    if cfg.clip_norm:
+        parts.append(optax.clip_by_global_norm(cfg.clip_norm))
+    if cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.adam(cfg.learning_rate))
+    return optax.chain(*parts)
+
+
+def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
+                    donate: bool = True):
+    """Returns (step_fn, tx). step_fn(params, opt_state, batch) ->
+    (params, opt_state, metrics). batch: dict with depth/color/label/mask,
+    all (B, H, W, 1) float32.
+
+    With `mesh`, the forward runs shard_map'd over (dp, sp); put batch
+    arrays with NamedSharding(mesh, P('dp','sp')) for zero resharding.
+    """
+    tx = make_optimizer(cfg)
+
+    if mesh is not None:
+        fwd = make_sharded_forward(variant, mesh, jit_compile=False)
+    else:
+        def fwd(params, depth, color, mask):
+            return variant.forward(params, depth, color, mask=mask)
+
+    def loss_fn(params, batch):
+        out = fwd(params, batch["depth"], batch["color"], batch["mask"])
+        m = batch["mask"]
+        err = (out - batch["label"]) * m
+        denom = jnp.sum(m)
+        if cfg.loss == "l2":
+            loss = jnp.sum(err * err) / denom
+        else:
+            loss = jnp.sum(jnp.abs(err)) / denom
+        return loss
+
+    def step_fn(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums), tx

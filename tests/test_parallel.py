@@ -1,0 +1,69 @@
+"""Multi-device semantics on the 8-device virtual CPU mesh.
+
+The key invariant (SURVEY.md §7 'hard parts'): spatially-tiled execution —
+halo-exchange convs + psum/pmax'd CAC pooling — must match single-device
+execution to float tolerance, including when the padded region is masked.
+"""
+import numpy as np
+import pytest
+import jax
+
+from codon_tpu.models.variants import get_variant
+from codon_tpu.parallel.mesh import make_mesh
+from codon_tpu.parallel.tiling import tiled_infer, make_sharded_forward
+
+
+@pytest.fixture(scope="module")
+def setup():
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    depth = rng.rand(2, 48, 37, 1).astype(np.float32)
+    color = rng.rand(2, 48, 37, 1).astype(np.float32)
+    ref = np.asarray(v.forward(params, depth, color))
+    return v, params, depth, color, ref
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("n_sp", [2, 4, 8])
+def test_tiled_matches_untiled(setup, n_sp):
+    v, params, depth, color, ref = setup
+    out = tiled_infer(v, params, depth, color, n_devices=n_sp)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_tiled_with_ragged_height(setup):
+    """H=48 not divisible by sp=5? use 7 shards -> padding path."""
+    v, params, depth, color, ref = setup
+    mesh = make_mesh([1, 8])
+    out = tiled_infer(v, params, depth, color, mesh=mesh)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_dp_times_sp_mesh(setup):
+    """2-way batch DP x 4-way spatial tiling on one mesh."""
+    v, params, depth, color, ref = setup
+    mesh = make_mesh([2, 4])
+    fwd = make_sharded_forward(v, mesh)
+    mask = np.ones_like(depth)
+    out = np.asarray(fwd(params, depth, color, mask))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_tiled_masked_mixed_sizes(setup):
+    """Padded mixed-size batch + tiling: both exactness mechanisms at once."""
+    v, params, depth, color, _ = setup
+    mask = np.zeros_like(depth)
+    mask[0, :48, :37] = 1.0
+    mask[1, :31, :23] = 1.0
+    d = depth * mask
+    c = color * mask
+    ref0 = np.asarray(v.forward(params, d[:1], c[:1]))
+    ref1 = np.asarray(v.forward(params, d[1:, :31, :23], c[1:, :31, :23]))
+    out = tiled_infer(v, params, d, c, mask=mask, n_devices=4)
+    np.testing.assert_allclose(out[0], ref0[0], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out[1, :31, :23], ref1[0], atol=2e-4,
+                               rtol=1e-3)

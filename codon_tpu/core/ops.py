@@ -28,11 +28,14 @@ from jax import lax
 
 
 def conv2d_nhwc(x: jax.Array, w: jax.Array, *, padding="SAME",
-                acc_dtype=jnp.float32, precision=None) -> jax.Array:
+                acc_dtype=jnp.float32, precision=None,
+                groups: int = 1) -> jax.Array:
     """Stride-1 NHWC/HWIO conv. Accumulates in acc_dtype, returns x.dtype.
 
     `precision`: lax.Precision for fp32 inputs on the MXU — on TPU, fp32
     convs default to a fast bf16-ish path; parity-grade fp32 needs HIGHEST.
+    `groups`: feature_group_count (the merged-tower forward runs both
+    towers as one grouped conv).
     """
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -41,6 +44,7 @@ def conv2d_nhwc(x: jax.Array, w: jax.Array, *, padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_dtype,
         precision=precision,
+        feature_group_count=groups,
     )
     return out.astype(x.dtype)
 
@@ -73,9 +77,9 @@ class XlaOps(Ops):
         self.acc_dtype = acc_dtype
         self.precision = precision
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
         out = conv2d_nhwc(x, w, padding=padding, acc_dtype=self.acc_dtype,
-                          precision=self.precision)
+                          precision=self.precision, groups=groups)
         return self.apply_mask(out, mask)
 
     def global_avg(self, x, mask=None):

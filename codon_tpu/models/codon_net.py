@@ -51,6 +51,10 @@ class CodonConfig:
     spatial_kernel: int = 5    # CAC spatial gate conv kernel
     dead_heads: bool = False   # X4/X8 checkpoint-compat unused params
     dtypes: DTypePolicy = FP32
+    # CAC stage implementation: "xla" | "pallas" | "auto" (pallas on TPU).
+    # The Pallas path fuses pools/stencil/gating into 3 kernels; it applies
+    # only on the single-device ops path (ShardedOps keeps XLA collectives).
+    cac_impl: str = "auto"
 
     @property
     def cat_width(self) -> int:
@@ -138,12 +142,23 @@ def init_codon_params(key: jax.Array, cfg: CodonConfig = CodonConfig()):
 def cac_channel_gate(x, w1, b1, w2, b2, ops: Ops, mask=None):
     """Global avg+max pool over HW -> shared MLP -> sigmoid.
 
-    x: (N, H, W, 2W) concat of both towers; returns (N, 1, 1, W) gate.
-    Reference semantics: CAC_module.py:38-63 (mlp applied to each pooled
-    vector separately, summed pre-sigmoid; output half the input channels).
+    x: (N, H, W, 2W) concat of both towers — OR a (color, depth) tuple,
+    in which case the pooled stats are computed per tower and concatenated
+    on the tiny pooled vectors instead of materializing the 2W-channel
+    activation (saves a full HBM round-trip per stage).
+    Returns (N, 1, 1, W) gate. Reference semantics: CAC_module.py:38-63
+    (mlp applied to each pooled vector separately, summed pre-sigmoid;
+    output half the input channels).
     """
-    avg = ops.global_avg(x, mask)[:, 0, 0, :]   # (N, 2W)
-    mx = ops.global_max(x, mask)[:, 0, 0, :]
+    if isinstance(x, tuple):
+        a, b = x
+        avg = jnp.concatenate([ops.global_avg(a, mask)[:, 0, 0, :],
+                               ops.global_avg(b, mask)[:, 0, 0, :]], -1)
+        mx = jnp.concatenate([ops.global_max(a, mask)[:, 0, 0, :],
+                              ops.global_max(b, mask)[:, 0, 0, :]], -1)
+    else:
+        avg = ops.global_avg(x, mask)[:, 0, 0, :]   # (N, 2W)
+        mx = ops.global_max(x, mask)[:, 0, 0, :]
 
     def mlp(v):
         h = jax.nn.relu(v @ w1.astype(v.dtype) + b1.astype(v.dtype))
@@ -157,10 +172,20 @@ def cac_spatial_gate(x, sp_w, ops: Ops, mask=None):
     """Channel max+mean -> 5x5 conv (2->1) -> sigmoid. (N,H,W,1) gate.
 
     Reference semantics: CAC_module.py:78-94 (max first, then mean).
+    Accepts the concat activation or a (color, depth) tuple (channel
+    reductions decompose over the concat: max=max(max_a,max_b),
+    mean=(mean_a+mean_b)/2 for equal widths).
     """
-    pooled = jnp.concatenate(
-        [jnp.max(x, axis=-1, keepdims=True),
-         jnp.mean(x, axis=-1, keepdims=True)], axis=-1)
+    if isinstance(x, tuple):
+        a, b = x
+        cmax = jnp.maximum(jnp.max(a, -1, keepdims=True),
+                           jnp.max(b, -1, keepdims=True))
+        cmean = (jnp.mean(a, -1, keepdims=True) +
+                 jnp.mean(b, -1, keepdims=True)) * 0.5
+    else:
+        cmax = jnp.max(x, axis=-1, keepdims=True)
+        cmean = jnp.mean(x, axis=-1, keepdims=True)
+    pooled = jnp.concatenate([cmax, cmean], axis=-1)
     logits = ops.conv2d(pooled, sp_w, mask=mask)
     return jax.nn.sigmoid(logits)
 
@@ -168,6 +193,21 @@ def cac_spatial_gate(x, sp_w, ops: Ops, mask=None):
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
+
+def _use_pallas_cac(cfg: CodonConfig, ops) -> bool:
+    """Pallas CAC only on the plain single-device ops path on TPU.
+
+    "auto" currently resolves to the XLA path: the fused kernels are
+    correct (tests/test_kernels.py) but measured ~25% slower end-to-end
+    than XLA's fusion of the same stage on v5e (layout padding of C=64
+    blocks + per-grid-step overheads); opt in with cac_impl="pallas".
+    """
+    if cfg.cac_impl == "xla" or not isinstance(ops, XlaOps):
+        return False
+    if cfg.cac_impl == "pallas":
+        return True
+    return False
+
 
 def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
                   ops: Optional[Ops] = None, mask=None):
@@ -199,6 +239,7 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
     out, out_c = inputs, inputs_c
 
     cac = p.get("cac") if cfg.use_cac else None
+    use_pallas = cac is not None and _use_pallas_cac(cfg, ops)
 
     for i in range(cfg.num_mc):
         # dual multi-scale cells (3x3 || 5x5 -> 5x5(2W) -> 1x1)
@@ -209,9 +250,19 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
         out = conv("confuse", relu(conv("conv3", d_cat)))
         out_c = conv("confuse_c", relu(conv("conv6", c_cat)))
 
+        if use_pallas:
+            from codon_tpu.kernels.cac import cac_stage_pallas
+            out, out_c = cac_stage_pallas(
+                out, out_c, inputs, inputs_c,
+                cac["ch_w1"][i], cac["ch_b1"][i],
+                cac["ch_w2"][i], cac["ch_b2"][i], cac["sp_w"][i],
+                mask)
+            continue  # residual add fused into the apply kernel
+
         if cac is not None:
-            # Fcat = cat(color, depth) — color first (CODON_x4.py:85)
-            fcat = jnp.concatenate([out_c, out], axis=-1)
+            # Fcat = cat(color, depth) — color first (CODON_x4.py:85);
+            # passed as a tuple so the 2W-channel concat is never built.
+            fcat = (out_c, out)
             ch = cac_channel_gate(fcat, cac["ch_w1"][i], cac["ch_b1"][i],
                                   cac["ch_w2"][i], cac["ch_b2"][i], ops, mask)
             sp = cac_spatial_gate(fcat, cac["sp_w"][i], ops, mask)
@@ -231,6 +282,88 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
 
     out = relu(conv("conv11", out_f))
     return (conv("output", out) + residual).astype(jnp.float32)
+
+
+def codon_forward_fused(params, depth, color, *,
+                        cfg: CodonConfig = CodonConfig(),
+                        ops: Optional[Ops] = None, mask=None):
+    """Merged-tower CODONNet forward: same math, half the conv ops.
+
+    The depth and color towers run in ONE 2W-channel tensor T=[out | out_c]
+    with grouped convs (feature_group_count=2): [conv1|conv5] as one 3x3,
+    [conv2|conv4] as one 5x5, [conv3|conv6] as one 5x5 on 4W channels,
+    [confuse|confuse_c] as one 1x1. Fewer, wider ops -> fewer XLA fusion
+    boundaries and better lane utilization; numerically identical to
+    `codon_forward` (same weights, same adds — verified in tests).
+
+    Weight packing happens at trace time from the SAME parameter pytree, so
+    checkpoints are interchangeable between the two forwards.
+    """
+    if ops is None:
+        ops = XlaOps(acc_dtype=cfg.dtypes.acc_dtype,
+                     precision=cfg.dtypes.precision)
+    cdt = cfg.dtypes.compute_dtype
+    relu = jax.nn.relu
+    w = cfg.width
+
+    x = depth.astype(cdt)
+    y = color.astype(cdt)
+    if mask is not None:
+        mask = mask.astype(cdt)
+        x = x * mask
+        y = y * mask
+    p = params
+
+    def conv(wk, t):
+        return ops.conv2d(t, wk, mask=mask)
+
+    cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+    # grouped kernels: (kh, kw, C_in/groups, C_out) with O blocked per group;
+    # the stems run grouped over the 2-channel [depth | color] stack
+    stem_in = cat(x, y)                                # (N,H,W,2)
+    k_in = jnp.concatenate([p["input"], p["input_c"]], axis=3)   # (3,3,1,128)
+    T = relu(ops.conv2d(stem_in, k_in, mask=mask, groups=2))
+    k_ci = jnp.concatenate([p["conv_input"], p["conv_input_c"]], axis=3)
+    inputs2 = relu(ops.conv2d(T, k_ci, mask=mask, groups=2))
+    T = inputs2
+
+    k_3x3 = jnp.concatenate([p["conv1"], p["conv5"]], axis=3)   # (3,3,64,128)
+    k_5x5 = jnp.concatenate([p["conv2"], p["conv4"]], axis=3)   # (5,5,64,128)
+    k_big = jnp.concatenate([p["conv3"], p["conv6"]], axis=3)   # (5,5,128,256)
+    k_fuse1 = jnp.concatenate([p["confuse"], p["confuse_c"]], axis=3)
+
+    cac = p.get("cac") if cfg.use_cac else None
+
+    for i in range(cfg.num_mc):
+        A = relu(ops.conv2d(T, k_3x3, mask=mask, groups=2))  # [d3|c3]
+        B = relu(ops.conv2d(T, k_5x5, mask=mask, groups=2))  # [d5|c5]
+        # depth cell input cat(d3, d5); color cell input cat(c5, c3)
+        # (reference cat orders: CODON_x4.py:79-80 — depth (conv1, conv2),
+        #  color (conv4, conv5) = (5x5, 3x3))
+        mixed = cat(A[..., :w], B[..., :w], B[..., w:], A[..., w:])
+        R2 = relu(ops.conv2d(mixed, k_big, mask=mask, groups=2))
+        T = ops.conv2d(R2, k_fuse1, mask=mask, groups=2)     # [out|out_c]
+
+        if cac is not None:
+            out, out_c = T[..., :w], T[..., w:]
+            ch = cac_channel_gate((out_c, out), cac["ch_w1"][i],
+                                  cac["ch_b1"][i], cac["ch_w2"][i],
+                                  cac["ch_b2"][i], ops, mask)
+            sp = cac_spatial_gate((out_c, out), cac["sp_w"][i], ops, mask)
+            ad2 = jnp.concatenate([ch, ch], axis=-1) * sp    # (N,H,W,2W)
+            T = T * ad2
+        T = T + inputs2
+
+    # fusion trunk consumes cat(out, out_c) == T directly
+    fuse = relu(conv(p["conv7"], T))
+    out_f = fuse
+    for _ in range(cfg.num_fuse):
+        f_cat = cat(relu(conv(p["conv8"], out_f)),
+                    relu(conv(p["conv9"], out_f)))
+        out_f = conv(p["confuse_fuse"], relu(conv(p["conv10"], f_cat))) + fuse
+
+    out = relu(conv(p["conv11"], out_f))
+    return (conv(p["output"], out) + x).astype(jnp.float32)
 
 
 def sequential_tower_forward(params, depth, color, *,

@@ -15,6 +15,7 @@ import jax
 
 from codon_tpu.core.params import DTypePolicy, FP32
 from codon_tpu.models.codon_net import (CodonConfig, codon_forward,
+                                        codon_forward_fused,
                                         init_codon_params,
                                         sequential_tower_forward)
 
@@ -63,6 +64,14 @@ def list_variants():
 def _codon(dtypes):
     cfg = CodonConfig(dead_heads=True, dtypes=dtypes)
     return Variant("codon", cfg, init_codon_params, codon_forward)
+
+
+@register("codon_fused", "CODONNet with merged-tower grouped convs — "
+          "numerically identical, fastest on TPU; same checkpoints")
+def _codon_fused(dtypes):
+    cfg = CodonConfig(dead_heads=True, dtypes=dtypes)
+    return Variant("codon_fused", cfg, init_codon_params,
+                   codon_forward_fused)
 
 
 @register("codon_x16", "CODONNet without dead attention heads "

@@ -58,14 +58,15 @@ class ShardedOps(Ops):
         self.acc_dtype = acc_dtype
         self.precision = precision
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
         kh = w.shape[0]
         halo = (kh - 1) // 2
         xh = _halo_exchange_h(x, halo, self.axis_name)
         out = conv2d_nhwc(
             xh, w,
             padding=((0, 0), ((w.shape[1] - 1) // 2,) * 2),
-            acc_dtype=self.acc_dtype, precision=self.precision)
+            acc_dtype=self.acc_dtype, precision=self.precision,
+            groups=groups)
         return self.apply_mask(out, mask)
 
     def global_avg(self, x, mask=None):

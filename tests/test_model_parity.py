@@ -111,3 +111,31 @@ def test_init_shapes_match_reference(oracle_and_params):
     our_flat = {"/".join(map(str, p)): v.shape
                 for p, v in jax.tree_util.tree_flatten_with_path(ours)[0]}
     assert ref_flat == our_flat
+
+
+def test_fused_forward_matches_regular(oracle_and_params):
+    """Merged-tower grouped-conv forward == reference-layout forward."""
+    from codon_tpu.models.codon_net import codon_forward_fused
+    _, params, cfg = oracle_and_params
+    rng = np.random.RandomState(11)
+    depth = rng.rand(2, H, W, 1).astype(np.float32)
+    color = rng.rand(2, H, W, 1).astype(np.float32)
+    a = np.asarray(codon_forward(params, depth, color, cfg=cfg))
+    b = np.asarray(codon_forward_fused(params, depth, color, cfg=cfg))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_forward_masked(oracle_and_params):
+    from codon_tpu.models.codon_net import codon_forward_fused
+    _, params, cfg = oracle_and_params
+    rng = np.random.RandomState(12)
+    depth = rng.rand(1, H, W, 1).astype(np.float32)
+    color = rng.rand(1, H, W, 1).astype(np.float32)
+    mask = np.zeros((1, H, W, 1), np.float32)
+    mask[:, :21, :17] = 1.0
+    a = np.asarray(codon_forward(params, depth * mask, color * mask,
+                                 cfg=cfg, mask=mask))
+    b = np.asarray(codon_forward_fused(params, depth * mask, color * mask,
+                                       cfg=cfg, mask=mask))
+    np.testing.assert_allclose(a[:, :21, :17], b[:, :21, :17],
+                               atol=2e-4, rtol=1e-3)

@@ -123,3 +123,27 @@ def load_pth(path: str, cfg: CodonConfig = CodonConfig()):
         sd, epoch = ckpt, -1
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
     return torch_state_dict_to_params(sd, cfg), epoch
+
+
+def generic_state_dict_to_flat(sd: Mapping[str, "np.ndarray"]):
+    """Torch state dict -> flat codon_tpu zoo params by rank-based layout:
+
+      4D conv weight OIHW -> HWIO, 2D Linear (out,in) -> (in,out),
+      1D tensors (biases, norm affine/stats) unchanged, `module.` stripped,
+      `num_batches_tracked` dropped.
+
+    Works for any zoo variant because zoo params are keyed by the torch
+    names themselves.
+    """
+    sd = _strip_module({k: _np(v) for k, v in sd.items()})
+    out: Dict[str, "jnp.ndarray"] = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if v.ndim == 4:
+            out[k] = jnp.asarray(v.transpose(2, 3, 1, 0))
+        elif v.ndim == 2:
+            out[k] = jnp.asarray(v.T)
+        else:
+            out[k] = jnp.asarray(v)
+    return out

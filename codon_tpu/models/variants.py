@@ -89,12 +89,33 @@ def _rmcr(dtypes):
                    sequential_tower_forward)
 
 
-# the extended ablation zoo registers itself on import
-def _load_zoo():
-    try:
-        import codon_tpu.models.zoo  # noqa: F401
-    except ImportError:
-        pass
+# ---------------------------------------------------------------------------
+# ablation-zoo bridging: every zoo net is addressable as "zoo:<name>"
+# ---------------------------------------------------------------------------
+
+def _register_zoo():
+    from codon_tpu.models import zoo as _zoo
+
+    def make_builder(zname):
+        def builder(dtypes):
+            cfg = CodonConfig(dtypes=dtypes)
+
+            def init_fn(key, _cfg):
+                return _zoo.zoo_init(zname, key,
+                                     dtype=dtypes.param_dtype)
+
+            def forward_fn(params, depth, color, *, cfg, mask=None,
+                           ops=None):
+                return _zoo.zoo_forward(zname, params, depth, color,
+                                        dtypes=cfg.dtypes, ops=ops,
+                                        mask=mask)
+
+            return Variant(f"zoo:{zname}", cfg, init_fn, forward_fn)
+        return builder
+
+    for zname in _zoo.list_zoo():
+        _REGISTRY[f"zoo:{zname}"] = (make_builder(zname),
+                                     _zoo.ZOO[zname]["doc"])
 
 
-_load_zoo()
+_register_zoo()

@@ -50,6 +50,10 @@ class CodonConfig:
     cac_reduction: int = 16    # channel-gate MLP bottleneck: 2W/reduction
     spatial_kernel: int = 5    # CAC spatial gate conv kernel
     dead_heads: bool = False   # X4/X8 checkpoint-compat unused params
+    # CODON_X16/model/CODONet.py:146-150 flavor: color cell cats
+    # (conv5-out, conv4-out) = (3x3, 5x5) instead of (5x5, 3x3) —
+    # weight-compatible with the main net, activation-different.
+    color_cat_swapped: bool = False
     dtypes: DTypePolicy = FP32
     # CAC stage implementation: "xla" | "pallas" | "auto" (pallas on TPU).
     # The Pallas path fuses pools/stencil/gating into 3 kernels; it applies
@@ -245,8 +249,10 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
         # dual multi-scale cells (3x3 || 5x5 -> 5x5(2W) -> 1x1)
         d_cat = jnp.concatenate([relu(conv("conv1", out)),
                                  relu(conv("conv2", out))], axis=-1)
-        c_cat = jnp.concatenate([relu(conv("conv4", out_c)),
-                                 relu(conv("conv5", out_c))], axis=-1)
+        c_parts = [relu(conv("conv4", out_c)), relu(conv("conv5", out_c))]
+        if cfg.color_cat_swapped:
+            c_parts.reverse()
+        c_cat = jnp.concatenate(c_parts, axis=-1)
         out = conv("confuse", relu(conv("conv3", d_cat)))
         out_c = conv("confuse_c", relu(conv("conv6", c_cat)))
 

@@ -81,6 +81,15 @@ def _codon_x16(dtypes):
     return Variant("codon_x16", cfg, init_codon_params, codon_forward)
 
 
+@register("codonet_x16_model", "CODON_X16/model/CODONet.py flavor: color "
+          "cell concat swapped (3x3 first); weight-compatible with codon_x16")
+def _codonet_x16_model(dtypes):
+    cfg = CodonConfig(dead_heads=False, color_cat_swapped=True,
+                      dtypes=dtypes)
+    return Variant("codonet_x16_model", cfg, init_codon_params,
+                   codon_forward)
+
+
 @register("rmcr_fuse_rmcr", "attention-free CODON skeleton, sequential "
           "towers (reference CODON_x16.py:16, base_net_withoutBN.py:1882)")
 def _rmcr(dtypes):

@@ -47,6 +47,28 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="model variant name (see models.variants registry)")
     e.add_argument("--tile-devices", type=int, default=0,
                    help=">1: spatially-tiled inference over N devices")
+    e.add_argument("--resume", action="store_true",
+                   help="skip images whose output PNG already exists")
+    e.add_argument("--json", default=None,
+                   help="write a structured metrics summary to this file")
+    e.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this directory")
+
+    t = sub.add_parser("train", help="train a model on synthesized pairs")
+    t.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
+    t.add_argument("--data-root", default="/root/reference")
+    t.add_argument("--data-dir", default=None)
+    t.add_argument("--variant", default="codon")
+    t.add_argument("--steps", type=int, default=2000)
+    t.add_argument("--patch", type=int, default=64)
+    t.add_argument("--batch", type=int, default=16)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--loss", choices=("l1", "l2"), default="l1")
+    t.add_argument("--dtype", choices=("bf16", "fp32"), default="bf16")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--ckpt-in", default=None, help="warm start from .npz")
+    t.add_argument("--ckpt-out", default="codon_trained.npz")
+    t.add_argument("--log-every", type=int, default=100)
 
     g = sub.add_parser("golden", help="score archived reference outputs")
     g.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
@@ -108,27 +130,51 @@ def cmd_eval(args) -> int:
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
 
+        if getattr(args, "resume", False) and not args.no_save:
+            done = {n for n in names
+                    if os.path.exists(os.path.join(args.out, n + ".png"))}
+            if done:
+                print(f"resume: skipping {len(done)} already-written images")
+            names = [n for n in names if n not in done]
+            if not names:
+                print("resume: nothing to do")
+                return 0
+
         if args.tile_devices > 1:
             from codon_tpu.parallel.tiling import make_tiled_forward
-            fwd = make_tiled_forward(variant, args.tile_devices)
+            raw_fwd = make_tiled_forward(variant, args.tile_devices)
         else:
-            fwd = jax.jit(
-                lambda p, d, c, m: variant.forward(p, d, c, mask=m))
+            raw_fwd = lambda p, d, c, m: variant.forward(p, d, c, mask=m)
+
+        # clip+quantize ON DEVICE: the tunneled D2H link is slow (~30MB/s);
+        # uint8 is 4x smaller than f32 and matches the reference's
+        # (clip(out,0,1)*255).astype(uint8) truncation (CODON_X4/test.py:130)
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fwd_u8(p, d, c, m):
+            out = raw_fwd(p, d, c, m)
+            return (jnp.clip(out[..., 0], 0.0, 1.0) * 255).astype(jnp.uint8)
+
+        profile_ctx = None
+        if getattr(args, "profile", None):
+            jax.profiler.start_trace(args.profile)
+            profile_ctx = args.profile
 
         rmse_sum = ssim_sum = 0.0
+        per_image = []
         n = 0
         t_total = t_compute = 0.0
         t0_all = time.time()
         for batch in batched_loader(scale_dir, names, args.batch,
                                     args.pad_multiple):
             t0 = time.time()
-            out = fwd(params, batch.depth, batch.color, batch.mask)
-            out = np.asarray(out)  # blocks: includes D2H
+            out = np.asarray(fwd_u8(params, batch.depth, batch.color,
+                                    batch.mask))
             t_compute += time.time() - t0
             for i, name in enumerate(batch.names):
                 h, w = batch.sizes[i]
-                img = np.clip(out[i, :h, :w, 0], 0.0, 1.0)
-                img_u8 = (img * 255).astype(np.uint8)
+                img_u8 = out[i, :h, :w]
                 if not args.no_save:
                     imwrite_gray(os.path.join(args.out, name + ".png"),
                                  img_u8)
@@ -139,17 +185,79 @@ def cmd_eval(args) -> int:
                     rmse_sum += r
                     ssim_sum += s
                     n += 1
+                    per_image.append({"name": name, "rmse": r, "ssim": s})
                     print(f"{name}.png {r} {s}")
         t_total = time.time() - t0_all
+        if profile_ctx:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_ctx}")
+        summary = {
+            "scale": args.scale, "images": len(names),
+            "mean_rmse": rmse_sum / n if n else None,
+            "mean_ssim": ssim_sum / n if n else None,
+            "img_per_sec_e2e": len(names) / t_total if t_total else None,
+            "img_per_sec_compute": (len(names) / t_compute
+                                    if t_compute else None),
+            "per_image": per_image,
+        }
         if n:
             print(n)
             print(rmse_sum / n, ssim_sum / n)
-        print(f"images/sec (end-to-end): {len(names) / t_total:.3f}  "
-              f"(compute+D2H only: {len(names) / max(t_compute, 1e-9):.3f})")
+        print(f"images/sec (end-to-end): {summary['img_per_sec_e2e']:.3f}  "
+              f"(compute+D2H only: {summary['img_per_sec_compute']:.3f})")
+        if getattr(args, "json", None):
+            with open(args.json, "w") as f:
+                json.dump(summary, f, indent=2)
+            print(f"metrics written to {args.json}")
         return 0
     finally:
         if log_ctx:
             log_ctx.__exit__(None, None, None)
+
+
+def cmd_train(args) -> int:
+    import jax
+    from codon_tpu.checkpoint import load_npz, save_npz
+    from codon_tpu.data.io import discover_pairs, imread_gray
+    from codon_tpu.models.variants import get_variant
+    from codon_tpu.train.data import PatchSampler
+    from codon_tpu.train.trainer import TrainConfig, make_train_step
+
+    scale_dir = _scale_dir(args)
+    names = discover_pairs(scale_dir)
+    labels, colors = [], []
+    for n in names:
+        labels.append(imread_gray(os.path.join(scale_dir, "input_label",
+                                               n + ".png")))
+        colors.append(imread_gray(os.path.join(scale_dir, "input_color",
+                                               n + ".png")))
+    print(f"train x{args.scale}: {len(labels)} source images, "
+          f"patch={args.patch} batch={args.batch} steps={args.steps}")
+
+    from codon_tpu.core.params import BF16, FP32
+    variant = get_variant(args.variant,
+                          dtypes=BF16 if args.dtype == "bf16" else FP32)
+    params = (load_npz(args.ckpt_in) if args.ckpt_in
+              else variant.init(jax.random.PRNGKey(args.seed)))
+    step, tx = make_train_step(
+        variant, TrainConfig(learning_rate=args.lr, loss=args.loss))
+    opt_state = tx.init(params)
+
+    sampler = PatchSampler(labels, colors, scale=args.scale,
+                           patch=args.patch, batch=args.batch,
+                           seed=args.seed)
+    t0 = time.time()
+    for i in range(1, args.steps + 1):
+        params, opt_state, m = step(params, opt_state, sampler.sample())
+        if i % args.log_every == 0 or i == 1:
+            loss = float(m["loss"])  # D2H sync point
+            rate = i * args.batch / (time.time() - t0)
+            print(f"step {i:6d}  loss {loss:.5f}  "
+                  f"grad_norm {float(m['grad_norm']):.3f}  "
+                  f"{rate:.0f} patches/s")
+    save_npz(args.ckpt_out, params)
+    print(f"saved {args.ckpt_out}")
+    return 0
 
 
 def cmd_golden(args) -> int:
@@ -202,7 +310,7 @@ def main(argv=None) -> int:
     from codon_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     args = _build_argparser().parse_args(argv)
-    return {"eval": cmd_eval, "golden": cmd_golden,
+    return {"eval": cmd_eval, "train": cmd_train, "golden": cmd_golden,
             "convert": cmd_convert, "info": cmd_info}[args.cmd](args)
 
 

@@ -1,0 +1,93 @@
+"""CLI end-to-end on the CPU backend: eval (resume, json), train, golden,
+convert, info — the full driver surface the reference exposed through its
+three per-scale test.py scripts plus what it lacked (training)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import reference_available
+from codon_tpu import cli
+
+
+def _tiny_dataset(root, n=3, hw=(34, 29)):
+    """Synthesize a reference-layout scale dir with small images."""
+    import cv2
+    rng = np.random.RandomState(0)
+    for sub in ("input_depth", "input_color", "input_label"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    names = []
+    for i in range(n):
+        h, w = hw
+        label = (rng.rand(h, w) * 255).astype(np.uint8)
+        color = (rng.rand(h, w) * 255).astype(np.uint8)
+        lr = cv2.resize(cv2.resize(label, (w // 4, h // 4)), (w, h),
+                        interpolation=cv2.INTER_CUBIC)
+        name = f"img{i}.png"
+        cv2.imwrite(os.path.join(root, "input_depth", name), lr)
+        cv2.imwrite(os.path.join(root, "input_color", name), color)
+        cv2.imwrite(os.path.join(root, "input_label", name), label)
+        names.append(name)
+    return names
+
+
+def test_eval_end_to_end(tmp_path):
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    out = str(tmp_path / "out")
+    jpath = str(tmp_path / "m.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--out", out, "--json", jpath, "--dtype", "fp32",
+                   "--pad-multiple", "8"])
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
+    with open(jpath) as f:
+        m = json.load(f)
+    assert m["images"] == 3 and len(m["per_image"]) == 3
+    assert m["mean_rmse"] > 0
+    # resume: immediately done
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--out", out,
+                   "--resume"])
+    assert rc == 0
+
+
+def test_train_smoke(tmp_path):
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "t.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "3", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    assert os.path.exists(ck)
+    # trained checkpoint loads back into eval
+    out = str(tmp_path / "out2")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--ckpt", ck,
+                   "--no-save", "--batch", "2", "--dtype", "fp32",
+                   "--out", out, "--pad-multiple", "8"])
+    assert rc == 0
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference data")
+def test_golden_matches_baseline(capsys):
+    rc = cli.main(["golden", "--scale", "8"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    mean_rmse, mean_ssim = map(float, lines[-1].split())
+    assert abs(mean_rmse - 3.4789) < 5e-4
+    assert abs(mean_ssim - 0.9370) < 5e-4
+
+
+def test_convert_and_info(tmp_path):
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle import load_reference_codonnet
+    net = load_reference_codonnet()()
+    pth = str(tmp_path / "x.pth")
+    npz = str(tmp_path / "x.npz")
+    torch.save({"epoch": 3, "model": net}, pth)
+    assert cli.main(["convert", "--pth", pth, "--npz", npz]) == 0
+    assert os.path.exists(npz)
+    assert cli.main(["info", "--variant", "codon"]) == 0

@@ -30,23 +30,27 @@ from jax import lax
 def conv2d_nhwc(x: jax.Array, w: jax.Array, *, padding="SAME",
                 acc_dtype=jnp.float32, precision=None,
                 groups: int = 1) -> jax.Array:
-    """Stride-1 NHWC/HWIO conv. Accumulates in acc_dtype, returns x.dtype.
+    """Stride-1 NHWC/HWIO conv in x.dtype.
 
+    No preferred_element_type: the MXU accumulates bf16 convs in f32
+    internally regardless, the output was cast back to x.dtype anyway,
+    and a mismatched accumulator dtype breaks the conv transpose rule
+    under jax.grad (f32 cotangent vs bf16 operands). `acc_dtype` is kept
+    in the signature for API stability.
     `precision`: lax.Precision for fp32 inputs on the MXU — on TPU, fp32
     convs default to a fast bf16-ish path; parity-grade fp32 needs HIGHEST.
     `groups`: feature_group_count (the merged-tower forward runs both
     towers as one grouped conv).
     """
-    out = lax.conv_general_dilated(
+    del acc_dtype
+    return lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(1, 1),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_dtype,
         precision=precision,
         feature_group_count=groups,
     )
-    return out.astype(x.dtype)
 
 
 class Ops:

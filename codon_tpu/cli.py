@@ -53,6 +53,11 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="write a structured metrics summary to this file")
     e.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this directory")
+    e.add_argument("--device-metrics", action="store_true",
+                   help="compute RMSE/SSIM on device inside the forward jit "
+                        "(scalars are the only D2H traffic; RMSE exact, "
+                        "SSIM zero-padded at image boundaries of padded "
+                        "batches — see metrics/ondevice.py)")
 
     t = sub.add_parser("train", help="train a model on synthesized pairs")
     t.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
@@ -161,6 +166,11 @@ def cmd_eval(args) -> int:
             jax.profiler.start_trace(args.profile)
             profile_ctx = args.profile
 
+        evaluator = None
+        if getattr(args, "device_metrics", False):
+            from codon_tpu.metrics.ondevice import make_batch_evaluator
+            evaluator = make_batch_evaluator(variant)
+
         rmse_sum = ssim_sum = 0.0
         per_image = []
         n = 0
@@ -169,6 +179,29 @@ def cmd_eval(args) -> int:
         for batch in batched_loader(scale_dir, names, args.batch,
                                     args.pad_multiple):
             t0 = time.time()
+            if evaluator is not None and batch.label_dev is not None:
+                mask = batch.mask
+                if mask is None:
+                    mask = jnp.ones_like(batch.depth)
+                stats = evaluator(params, batch.depth, batch.color, mask,
+                                  batch.label_dev)
+                rmse_v = np.asarray(stats["rmse"])
+                ssim_v = np.asarray(stats["ssim"])
+                out = (np.asarray(stats["out_u8"])
+                       if not args.no_save else None)
+                t_compute += time.time() - t0
+                for i, name in enumerate(batch.names):
+                    h, w = batch.sizes[i]
+                    if out is not None:
+                        imwrite_gray(os.path.join(args.out, name + ".png"),
+                                     out[i, :h, :w])
+                    r, s = float(rmse_v[i]), float(ssim_v[i])
+                    rmse_sum += r
+                    ssim_sum += s
+                    n += 1
+                    per_image.append({"name": name, "rmse": r, "ssim": s})
+                    print(f"{name}.png {r} {s}")
+                continue
             out = np.asarray(fwd_u8(params, batch.depth, batch.color,
                                     batch.mask))
             t_compute += time.time() - t0

@@ -31,6 +31,7 @@ class Batch:
     mask: Optional[jax.Array]     # (B, H, W, 1) or None if uniform shape
     sizes: List[tuple]            # original (h, w) per image
     labels: List[Optional[np.ndarray]]  # uint8 host arrays
+    label_dev: Optional[jax.Array] = None  # (B, H, W, 1) [0,255] padded
 
 
 def _round_up(x: int, m: int) -> int:
@@ -57,6 +58,8 @@ def make_batch(samples: Sequence[Sample], pad_multiple: int = 32,
     depth = np.zeros((B, H, W, 1), np.float32)
     color = np.zeros((B, H, W, 1), np.float32)
     mask = np.zeros((B, H, W, 1), np.float32)
+    have_labels = all(s.label is not None for s in samples)
+    label = np.zeros((B, H, W, 1), np.float32) if have_labels else None
     uniform = all(h == hs[0] and w == ws[0] for h, w in zip(hs, ws)) \
         and hs[0] == H and ws[0] == W
     for i, s in enumerate(samples):
@@ -64,6 +67,10 @@ def make_batch(samples: Sequence[Sample], pad_multiple: int = 32,
         depth[i, :h, :w, 0] = s.depth.astype(np.float32) / 255.0
         color[i, :h, :w, 0] = s.color.astype(np.float32) / 255.0
         mask[i, :h, :w, 0] = 1.0
+        if have_labels:
+            lh, lw = s.label.shape
+            label[i, :min(h, lh), :min(w, lw), 0] = \
+                s.label[:h, :w].astype(np.float32)
     put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
     return Batch(
         names=[s.name for s in samples[:real]],
@@ -71,6 +78,7 @@ def make_batch(samples: Sequence[Sample], pad_multiple: int = 32,
         mask=None if uniform else put(mask),
         sizes=list(zip(hs, ws)),
         labels=[s.label for s in samples],
+        label_dev=put(label) if have_labels else None,
     )
 
 

@@ -1,0 +1,38 @@
+"""Fused on-device evaluation: forward + quantize + masked RMSE + SSIM in
+one jitted program per batch — scalars are the only D2H traffic.
+
+This is the 'batched full-folder sweep with on-device eval' configuration
+(BASELINE.json configs[3]). Quantization to uint8 and back mirrors the
+reference's save-then-score flow (CODON_X4/test.py:130-138) so on-device
+RMSE is EXACT vs host metrics on the written PNGs. On-device SSIM is exact
+for images that fill the padded shape; for padded images the 6-pixel
+boundary ring uses normalized-convolution statistics instead of per-image
+reflect padding (close, tests quantify the gap); host SSIM remains the
+reference-exact path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from codon_tpu.metrics.rmse import masked_rmse_jnp
+from codon_tpu.metrics.ssim import ssim_exact_jnp
+
+
+def make_batch_evaluator(variant):
+    """-> jitted fn(params, depth, color, mask, label) -> dict of (N,) stats
+    plus the uint8 output batch (for optional saving)."""
+
+    @jax.jit
+    def evaluate(params, depth, color, mask, label):
+        out = variant.forward(params, depth, color, mask=mask)
+        u8 = (jnp.clip(out[..., 0], 0.0, 1.0) * 255).astype(jnp.uint8)
+        dq = u8.astype(jnp.float32)               # what the PNG will hold
+        lab = label[..., 0].astype(jnp.float32)
+        m = mask[..., 0] if mask is not None else jnp.ones_like(lab)
+        rmse = masked_rmse_jnp(lab[..., None], dq[..., None],
+                               m[..., None])
+        ssim = ssim_exact_jnp(lab / 255.0, dq / 255.0, mask=m)
+        return {"rmse": rmse, "ssim": ssim, "out_u8": u8}
+
+    return evaluate

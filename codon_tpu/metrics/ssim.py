@@ -70,21 +70,33 @@ def ssim_exact_jnp(img1, img2, sd: float = 1.5, C1: float = _C1,
                    C2: float = _C2, mask=None):
     """On-device Gaussian SSIM. img1/img2: (..., H, W); returns (...) means.
 
-    With `mask` (same shape, 1 = valid), the mean is over valid pixels only
-    and the blur treats the image as cropped is NOT attempted — use equal
-    sizes per batch entry (pad+mask changes boundary stats); for exact
-    reference parity run per-image via vmap on same-size groups.
+    Without `mask` this is exact vs scipy (symmetric pad == 'reflect').
+    With `mask` (same shape, 1 = valid, for padded batches) boundary
+    statistics use normalized convolution — blur(x*m)/blur(m) — instead of
+    the reflect padding a per-image run would see; the mean is over valid
+    pixels. Close but not bit-equal near the valid boundary; run
+    uniform-size batches (or host metrics) for reference-exact numbers.
     """
     img1 = jnp.asarray(img1)
     img2 = jnp.asarray(img2, img1.dtype)
     kernel = gaussian_kernel_1d(sd, dtype=np.float64 if img1.dtype ==
                                 jnp.float64 else np.float32)
-    mu1 = _gauss_blur_jnp(img1, kernel)
-    mu2 = _gauss_blur_jnp(img2, kernel)
+    if mask is None:
+        blur = lambda t: _gauss_blur_jnp(t, kernel)
+    else:
+        m = jnp.asarray(mask, img1.dtype)
+        bm = _gauss_blur_jnp(m, kernel)
+        inv_bm = jnp.where(bm > 1e-6, 1.0 / bm, 0.0)
+
+        def blur(t):
+            return _gauss_blur_jnp(t * m, kernel) * inv_bm
+
+    mu1 = blur(img1)
+    mu2 = blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _gauss_blur_jnp(img1 * img1, kernel) - mu1_sq
-    s2 = _gauss_blur_jnp(img2 * img2, kernel) - mu2_sq
-    s12 = _gauss_blur_jnp(img1 * img2, kernel) - mu1_mu2
+    s1 = blur(img1 * img1) - mu1_sq
+    s2 = blur(img2 * img2) - mu2_sq
+    s12 = blur(img1 * img2) - mu1_mu2
     num = (2 * mu1_mu2 + C1) * (2 * s12 + C2)
     den = (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
     smap = num / den

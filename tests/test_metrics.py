@@ -91,3 +91,58 @@ def test_ssim_jnp_batched_f32_close():
     dev = np.asarray(ssim_exact_jnp(a, b))
     for i in range(3):
         assert abs(dev[i] - ssim_exact(a[i], b[i])) < 1e-4
+
+
+def test_ondevice_evaluator_vs_host():
+    """Fused on-device eval: RMSE exact vs host; SSIM close (zero-stat
+    boundary ring on padded images)."""
+    import jax
+    from codon_tpu.data.pipeline import make_batch
+    from codon_tpu.data.io import Sample
+    from codon_tpu.metrics.ondevice import make_batch_evaluator
+    from codon_tpu.models.variants import get_variant
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(0))
+
+    def run(sizes, pad_multiple=8):
+        samples = []
+        for i, (h, w) in enumerate(sizes):
+            depth = (rng.rand(h, w) * 255).astype(np.uint8)
+            color = (rng.rand(h, w) * 255).astype(np.uint8)
+            label = (rng.rand(h, w) * 255).astype(np.uint8)
+            label[label < 10] = 0
+            samples.append(Sample(f"s{i}", depth, color, label))
+        batch = make_batch(samples, pad_multiple=pad_multiple)
+        evaluator = make_batch_evaluator(v)
+        mask = (batch.mask if batch.mask is not None
+                else jnp.ones_like(batch.depth))
+        stats = evaluator(params, batch.depth, batch.color, mask,
+                          batch.label_dev)
+        out_u8 = np.asarray(stats["out_u8"])
+        return samples, stats, out_u8
+
+    # exact case: images fill the padded shape (h, w multiples of 8) —
+    # device SSIM's symmetric pad == scipy reflect at the true boundary
+    samples, stats, out_u8 = run([(40, 32), (40, 32)])
+    for i, s in enumerate(samples):
+        h, w = s.depth.shape
+        img = out_u8[i, :h, :w]
+        assert abs(float(stats["rmse"][i]) - masked_rmse(s.label, img)) \
+            < 1e-3
+        assert abs(float(stats["ssim"][i]) -
+                   ssim_exact(s.label / 255, img / 255)) < 1e-4
+
+    # padded case: RMSE still exact; SSIM approximate in the 6-px boundary
+    # ring (zero- vs reflect-statistics) — realistic sizes keep the ring a
+    # small fraction; bound documented in metrics/ondevice.py
+    samples, stats, out_u8 = run([(96, 85), (80, 70)], pad_multiple=16)
+    for i, s in enumerate(samples):
+        h, w = s.depth.shape
+        img = out_u8[i, :h, :w]
+        assert abs(float(stats["rmse"][i]) - masked_rmse(s.label, img)) \
+            < 1e-3
+        assert abs(float(stats["ssim"][i]) -
+                   ssim_exact(s.label / 255, img / 255)) < 0.03

@@ -38,7 +38,8 @@ def _build_argparser() -> argparse.ArgumentParser:
     e.add_argument("--ckpt", default=None,
                    help=".npz or .pth checkpoint; random init if omitted")
     e.add_argument("--batch", type=int, default=4)
-    e.add_argument("--dtype", choices=("bf16", "fp32"), default="bf16")
+    e.add_argument("--dtype", choices=("bf16", "fp32", "fp16"),
+                   default="bf16")
     e.add_argument("--pad-multiple", type=int, default=32)
     e.add_argument("--out", default="CODON_result_save")
     e.add_argument("--no-save", action="store_true")
@@ -53,6 +54,8 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="write a structured metrics summary to this file")
     e.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace into this directory")
+    e.add_argument("--check-nans", action="store_true",
+                   help="enable jax debug_nans (fail fast on NaN/inf)")
     e.add_argument("--device-metrics", action="store_true",
                    help="compute RMSE/SSIM on device inside the forward jit "
                         "(scalars are the only D2H traffic; RMSE exact, "
@@ -69,11 +72,14 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--batch", type=int, default=16)
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--loss", choices=("l1", "l2"), default="l1")
-    t.add_argument("--dtype", choices=("bf16", "fp32"), default="bf16")
+    t.add_argument("--dtype", choices=("bf16", "fp32", "fp16"),
+                   default="bf16")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--ckpt-in", default=None, help="warm start from .npz")
     t.add_argument("--ckpt-out", default="codon_trained.npz")
     t.add_argument("--log-every", type=int, default=100)
+    t.add_argument("--check-nans", action="store_true",
+                   help="enable jax debug_nans (fail fast on NaN/inf)")
 
     g = sub.add_parser("golden", help="score archived reference outputs")
     g.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
@@ -116,19 +122,22 @@ def _load_params(args, cfg):
 
 def cmd_eval(args) -> int:
     import jax
-    from codon_tpu.core.params import BF16, FP32
+    from codon_tpu.core.params import BF16, FP16, FP32
     from codon_tpu.data.io import discover_pairs, imwrite_gray
     from codon_tpu.data.pipeline import batched_loader
     from codon_tpu.metrics import masked_rmse, ssim_exact
     from codon_tpu.models.variants import get_variant
     from codon_tpu.utils.logging import Logger
 
+    if getattr(args, "check_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     log_ctx = Logger(args.log) if args.log else None
     if log_ctx:
         log_ctx.__enter__()
     try:
         scale_dir = _scale_dir(args)
-        dtypes = BF16 if args.dtype == "bf16" else FP32
+        dtypes = {"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype]
         variant = get_variant(args.variant, dtypes=dtypes)
         params = _load_params(args, variant.cfg)
         names = discover_pairs(scale_dir)
@@ -256,6 +265,9 @@ def cmd_train(args) -> int:
     from codon_tpu.train.data import PatchSampler
     from codon_tpu.train.trainer import TrainConfig, make_train_step
 
+    if getattr(args, "check_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     scale_dir = _scale_dir(args)
     names = discover_pairs(scale_dir)
     labels, colors = [], []
@@ -267,9 +279,10 @@ def cmd_train(args) -> int:
     print(f"train x{args.scale}: {len(labels)} source images, "
           f"patch={args.patch} batch={args.batch} steps={args.steps}")
 
-    from codon_tpu.core.params import BF16, FP32
-    variant = get_variant(args.variant,
-                          dtypes=BF16 if args.dtype == "bf16" else FP32)
+    from codon_tpu.core.params import BF16, FP16, FP32
+    variant = get_variant(
+        args.variant,
+        dtypes={"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype])
     params = (load_npz(args.ckpt_in) if args.ckpt_in
               else variant.init(jax.random.PRNGKey(args.seed)))
     step, tx = make_train_step(

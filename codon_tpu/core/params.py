@@ -37,6 +37,10 @@ class DTypePolicy:
 
 BF16 = DTypePolicy(compute_dtype=jnp.bfloat16)
 FP32 = DTypePolicy(precision="highest")
+# The reference ran fp16 end-to-end on GPU (CODON_X4/test.py:52); bf16 is
+# the MXU-native choice, but fp16 compute is supported for apples-to-apples
+# numerics comparisons.
+FP16 = DTypePolicy(compute_dtype=jnp.float16)
 
 
 def conv_kernel_init(key, kh: int, kw: int, c_in: int, c_out: int,

@@ -67,3 +67,38 @@ def test_tiled_masked_mixed_sizes(setup):
     np.testing.assert_allclose(out[0], ref0[0], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(out[1, :31, :23], ref1[0], atol=2e-4,
                                rtol=1e-3)
+
+
+def test_tile_stitch_close_to_whole_frame():
+    """Host-side tile+stitch: conv stencils exact (halo > receptive field);
+    divergence comes only from per-tile CAC channel stats — small."""
+    from codon_tpu.parallel.stitch import tile_stitch_infer
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(7)
+    # smooth-ish content: global vs per-tile pooled stats stay close
+    base = rng.rand(1, 1, 6, 1).astype(np.float32)
+    depth = np.kron(base, np.ones((1, 160, 16, 1), np.float32))
+    depth += 0.05 * rng.rand(1, 160, 96, 1).astype(np.float32)
+    color = depth * 0.7 + 0.1
+    whole = np.asarray(v.forward(params, depth, color))
+    stitched = tile_stitch_infer(v, params, depth, color, tile_h=64,
+                                 halo=48)
+    assert stitched.shape == whole.shape
+    diff = np.abs(stitched - whole)
+    assert diff.mean() < 5e-3, diff.mean()
+
+
+def test_tile_stitch_attention_free_exact():
+    """Without CAC gates there are no global stats: tile+stitch must be
+    exact to float noise."""
+    from codon_tpu.parallel.stitch import tile_stitch_infer
+    v = get_variant("rmcr_fuse_rmcr")
+    params = v.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(8)
+    depth = rng.rand(1, 160, 64, 1).astype(np.float32)
+    color = rng.rand(1, 160, 64, 1).astype(np.float32)
+    whole = np.asarray(v.forward(params, depth, color))
+    stitched = tile_stitch_infer(v, params, depth, color, tile_h=64,
+                                 halo=48)
+    np.testing.assert_allclose(stitched, whole, atol=5e-4, rtol=1e-3)

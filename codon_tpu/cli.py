@@ -16,7 +16,6 @@ info     print model/param summary and device info
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys

@@ -20,7 +20,6 @@ pre-sigmoid, gate applied to both towers, then +stem residual).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ sharding); PAM/CAM whole-image attention is single-shard only (documented).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ The X4/X8 release checkpoints additionally carry dead parameters
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

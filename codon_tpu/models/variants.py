@@ -9,9 +9,7 @@ grows in models/zoo.py; this module owns the registry surface.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
-
-import jax
+from typing import Callable, Dict
 
 from codon_tpu.core.params import DTypePolicy, FP32
 from codon_tpu.models.codon_net import (CodonConfig, codon_forward,

@@ -23,13 +23,13 @@ between families: CAC nets cat color-first, Cross nets cat depth-first).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from codon_tpu.core.ops import Ops, XlaOps
-from codon_tpu.core.params import DTypePolicy, FP32
+from codon_tpu.core.ops import XlaOps
+from codon_tpu.core.params import FP32
 from codon_tpu.models import attention as A
 
 

@@ -19,7 +19,6 @@ process frames whose activations exceed HBM.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax

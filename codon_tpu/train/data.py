@@ -9,7 +9,7 @@ with the grayscale color image as guidance.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Sequence
+from typing import Iterator, List
 
 import numpy as np
 

@@ -278,10 +278,16 @@ def cmd_train(args) -> int:
     print(f"train x{args.scale}: {len(labels)} source images, "
           f"patch={args.patch} batch={args.batch} steps={args.steps}")
 
+    import dataclasses
     from codon_tpu.core.params import BF16, FP16, FP32
     variant = get_variant(
         args.variant,
         dtypes={"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype])
+    if hasattr(variant.cfg, "loop_impl"):
+        # scan lowering: ~5x smaller fwd+bwd HLO, much faster compiles
+        variant = dataclasses.replace(
+            variant, cfg=dataclasses.replace(variant.cfg,
+                                             loop_impl="scan"))
     params = (load_npz(args.ckpt_in) if args.ckpt_in
               else variant.init(jax.random.PRNGKey(args.seed)))
     step, tx = make_train_step(

@@ -139,3 +139,16 @@ def test_fused_forward_masked(oracle_and_params):
                                        cfg=cfg, mask=mask))
     np.testing.assert_allclose(a[:, :21, :17], b[:, :21, :17],
                                atol=2e-4, rtol=1e-3)
+
+
+def test_scan_loop_matches_unroll(oracle_and_params):
+    """lax.scan loop lowering (fast compiles) == unrolled lowering."""
+    import dataclasses as dc
+    _, params, cfg = oracle_and_params
+    rng = np.random.RandomState(21)
+    depth = rng.rand(1, H, W, 1).astype(np.float32)
+    color = rng.rand(1, H, W, 1).astype(np.float32)
+    a = np.asarray(codon_forward(params, depth, color, cfg=cfg))
+    cfg_s = dc.replace(cfg, loop_impl="scan")
+    b = np.asarray(codon_forward(params, depth, color, cfg=cfg_s))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)

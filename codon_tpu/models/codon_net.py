@@ -177,13 +177,18 @@ def cac_channel_gate(x, w1, b1, w2, b2, ops: Ops, mask=None):
     return gate[:, None, None, :]
 
 
-def cac_spatial_gate(x, sp_w, ops: Ops, mask=None):
+def cac_spatial_gate(x, sp_w, ops: Ops, mask=None, impl: str = "conv"):
     """Channel max+mean -> 5x5 conv (2->1) -> sigmoid. (N,H,W,1) gate.
 
     Reference semantics: CAC_module.py:78-94 (max first, then mean).
     Accepts the concat activation or a (color, depth) tuple (channel
     reductions decompose over the concat: max=max(max_a,max_b),
     mean=(mean_a+mean_b)/2 for equal widths).
+
+    impl="stencil": the 2->1 conv unrolled as k*k*2 shifted multiply-adds
+    on (N,H,W) planes — dodges the 1-2 channel conv layouts that are
+    MXU/lane-hostile on TPU. Equal numerics (same taps, same zero SAME
+    padding); only usable on the unsharded path (XlaOps).
     """
     if isinstance(x, tuple):
         a, b = x
@@ -194,6 +199,25 @@ def cac_spatial_gate(x, sp_w, ops: Ops, mask=None):
     else:
         cmax = jnp.max(x, axis=-1, keepdims=True)
         cmean = jnp.mean(x, axis=-1, keepdims=True)
+
+    if impl == "stencil" and isinstance(ops, XlaOps):
+        k = sp_w.shape[0]
+        r = (k - 1) // 2
+        n, h, w, _ = cmax.shape
+        planes = jnp.concatenate([cmax, cmean], axis=-1)  # (N,H,W,2)
+        pp = jnp.pad(planes, ((0, 0), (r, r), (r, r), (0, 0)))
+        wk = sp_w.astype(planes.dtype)
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                tap = (pp[:, dy:dy + h, dx:dx + w, 0] * wk[dy, dx, 0, 0] +
+                       pp[:, dy:dy + h, dx:dx + w, 1] * wk[dy, dx, 1, 0])
+                acc = tap if acc is None else acc + tap
+        logits = acc[..., None]
+        if mask is not None:
+            logits = logits * mask.astype(logits.dtype)
+        return jax.nn.sigmoid(logits)
+
     pooled = jnp.concatenate([cmax, cmean], axis=-1)
     logits = ops.conv2d(pooled, sp_w, mask=mask)
     return jax.nn.sigmoid(logits)
@@ -274,7 +298,10 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
             fcat = (out_c, out)
             ch = cac_channel_gate(fcat, cac_i["ch_w1"], cac_i["ch_b1"],
                                   cac_i["ch_w2"], cac_i["ch_b2"], ops, mask)
-            sp = cac_spatial_gate(fcat, cac_i["sp_w"], ops, mask)
+            sp_impl = ("stencil" if cfg.cac_impl == "xla_stencil"
+                       else "conv")
+            sp = cac_spatial_gate(fcat, cac_i["sp_w"], ops, mask,
+                                  impl=sp_impl)
             ad = ch * sp                      # (N, H, W, W) via broadcast
             out = out * ad
             out_c = out_c * ad

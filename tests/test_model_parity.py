@@ -152,3 +152,15 @@ def test_scan_loop_matches_unroll(oracle_and_params):
     cfg_s = dc.replace(cfg, loop_impl="scan")
     b = np.asarray(codon_forward(params, depth, color, cfg=cfg_s))
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_stencil_spatial_gate_matches_conv(oracle_and_params):
+    import dataclasses as dc
+    _, params, cfg = oracle_and_params
+    rng = np.random.RandomState(23)
+    depth = rng.rand(1, H, W, 1).astype(np.float32)
+    color = rng.rand(1, H, W, 1).astype(np.float32)
+    a = np.asarray(codon_forward(params, depth, color, cfg=cfg))
+    cfg_s = dc.replace(cfg, cac_impl="xla_stencil")
+    b = np.asarray(codon_forward(params, depth, color, cfg=cfg_s))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)

@@ -70,6 +70,8 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--patch", type=int, default=64)
     t.add_argument("--batch", type=int, default=16)
     t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--warmup", type=int, default=0,
+                   help=">0: warmup+cosine schedule over --steps")
     t.add_argument("--loss", choices=("l1", "l2"), default="l1")
     t.add_argument("--dtype", choices=("bf16", "fp32", "fp16"),
                    default="bf16")
@@ -291,7 +293,9 @@ def cmd_train(args) -> int:
     params = (load_npz(args.ckpt_in) if args.ckpt_in
               else variant.init(jax.random.PRNGKey(args.seed)))
     step, tx = make_train_step(
-        variant, TrainConfig(learning_rate=args.lr, loss=args.loss))
+        variant, TrainConfig(learning_rate=args.lr, loss=args.loss,
+                             warmup_steps=args.warmup,
+                             total_steps=args.steps))
     opt_state = tx.init(params)
 
     sampler = PatchSampler(labels, colors, scale=args.scale,

@@ -29,6 +29,12 @@ class TrainConfig:
     loss: str = "l1"               # "l1" | "l2" (SR-standard choices)
     clip_norm: Optional[float] = None
     weight_decay: float = 0.0
+    # cosine schedule: warmup_steps > 0 enables
+    # warmup -> peak(learning_rate) -> cosine decay to end_lr over
+    # total_steps; otherwise constant learning_rate
+    warmup_steps: int = 0
+    total_steps: int = 0
+    end_lr_ratio: float = 0.01
 
 
 @dataclasses.dataclass
@@ -44,7 +50,16 @@ def make_optimizer(cfg: TrainConfig):
         parts.append(optax.clip_by_global_norm(cfg.clip_norm))
     if cfg.weight_decay:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
-    parts.append(optax.adam(cfg.learning_rate))
+    if cfg.warmup_steps > 0 and cfg.total_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate * 0.01,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate * cfg.end_lr_ratio)
+        parts.append(optax.adam(sched))
+    else:
+        parts.append(optax.adam(cfg.learning_rate))
     return optax.chain(*parts)
 
 

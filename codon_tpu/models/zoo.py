@@ -262,13 +262,13 @@ def unrolled_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
     if tower_att is not None:
         fn_d, fn_c, fn_f, fuse_pos = tower_att
         if cat_att:
-            ad = fn_d(out_d)
+            ad = fn_d(out_d, ops, mask)
             out_d = c("concat_d", jnp.concatenate([out_d, ad], -1))
-            ac = fn_c(out_c)
+            ac = fn_c(out_c, ops, mask)
             out_c = c("concat_c", jnp.concatenate([out_c, ac], -1))
         else:
-            out_d = fn_d(out_d)
-            out_c = fn_c(out_c)
+            out_d = fn_d(out_d, ops, mask)
+            out_c = fn_c(out_c, ops, mask)
 
     pair = (out_d, out_c) if cat_order == "dc" else (out_c, out_d)
     fuse = relu(c("conv11", jnp.concatenate(pair, -1)))
@@ -280,12 +280,12 @@ def unrolled_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
         fn_d, fn_c, fn_f, fuse_pos = tower_att
         if fn_f is not None:
             if cat_att:
-                af = fn_f(fuse)
+                af = fn_f(fuse, ops, mask)
                 fuse = c("concat_fuse", jnp.concatenate([fuse, af], -1))
             elif fuse_pos == "conv11":
-                fuse = fn_f(fuse)
+                fuse = fn_f(fuse, ops, mask)
             else:
-                hook17 = fn_f
+                hook17 = lambda t: fn_f(t, ops, mask)
 
     out = _fuse_chain(p, fuse, ops, mask, hook17)
     return (c("output", out) + residual).astype(jnp.float32)
@@ -407,8 +407,8 @@ def mc_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
             out_d = out_d + inputs_d
 
     if tower_att is not None:
-        out_d = tower_att[0](out_d)
-        out_c = tower_att[1](out_c)
+        out_d = tower_att[0](out_d, ops, mask)
+        out_c = tower_att[1](out_c, ops, mask)
 
     fuse = relu(c("conv7", jnp.concatenate([out_d, out_c], -1)))
 
@@ -429,13 +429,13 @@ def mc_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
                                    relu(c("conv9", out_f))], -1)
             out_f = c("confuse_fuse", relu(c("conv10", cat))) + fuse
         if fusion_att is not None:
-            out_f = fusion_att(out_f)
+            out_f = fusion_att(out_f, ops, mask)
         out = relu(c("conv11", out_f))
     else:
         for _ in range(3):
             out_f = relu(c("conv9", relu(c("conv8", out_f)))) + fuse
         if fusion_att is not None:
-            out_f = fusion_att(out_f)
+            out_f = fusion_att(out_f, ops, mask)
         out = relu(c("conv10", out_f))
 
     return (c("output", out) + residual).astype(jnp.float32)
@@ -487,15 +487,13 @@ def _spec_non():
     return spec
 
 
-def _mk_fwd_non(fuse_pos, pools=(("avg", "max"),) * 3, dead_pa_ca=False):
+def _mk_fwd_non(fuse_pos, pools=(("avg", "max"),) * 3):
     def fwd(p, d, c, dtypes=FP32, ops=None, mask=None):
-        x, y, mask2, ops2 = _prep(d, c, mask, dtypes, ops)
-        del x, y  # _prep rerun inside unrolled_forward; only ops/mask reused
-        att = (lambda t: A.res_cbam(p, "non1", t, ops2, mask2, pools[0]),
-               lambda t: A.res_cbam(p, "non2", t, ops2, mask2, pools[1]),
-               lambda t: A.res_cbam(p, "non3", t, ops2, mask2, pools[2]),
-               fuse_pos)
-        return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops2, mask=mask,
+        att = tuple(
+            [(lambda name, pt: lambda t, o, m:
+              A.res_cbam(p, name, t, o, m, pt))(f"non{i+1}", pools[i])
+             for i in range(3)]) + (fuse_pos,)
+        return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops, mask=mask,
                                 tower_att=att, cat_order="cd")
     return fwd
 
@@ -528,13 +526,11 @@ def _spec_non_cat():
 
 
 def _fwd_non_cat(p, d, c, dtypes=FP32, ops=None, mask=None):
-    x, y, mask2, ops2 = _prep(d, c, mask, dtypes, ops)
-    del x, y
-    att = (lambda t: A.res_cbam(p, "non1", t, ops2, mask2),
-           lambda t: A.res_cbam(p, "non2", t, ops2, mask2),
-           lambda t: A.res_cbam(p, "non3", t, ops2, mask2),
+    att = (lambda t, o, m: A.res_cbam(p, "non1", t, o, m),
+           lambda t, o, m: A.res_cbam(p, "non2", t, o, m),
+           lambda t, o, m: A.res_cbam(p, "non3", t, o, m),
            "conv11")
-    return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops2, mask=mask,
+    return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops, mask=mask,
                             tower_att=att, cat_order="cd", cat_att=True)
 
 
@@ -550,13 +546,11 @@ def _spec_nlar():
 
 
 def _fwd_nlar(p, d, c, dtypes=FP32, ops=None, mask=None):
-    x, y, mask2, ops2 = _prep(d, c, mask, dtypes, ops)
-    del x, y
-    att = (lambda t: A.spatial_cgnl(p, "non1", t, ops2, mask2),
-           lambda t: A.spatial_cgnl(p, "non2", t, ops2, mask2),
-           lambda t: A.spatial_cgnl(p, "non3", t, ops2, mask2),
+    att = (lambda t, o, m: A.spatial_cgnl(p, "non1", t, o, m),
+           lambda t, o, m: A.spatial_cgnl(p, "non2", t, o, m),
+           lambda t, o, m: A.spatial_cgnl(p, "non3", t, o, m),
            "conv17")
-    return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops2, mask=mask,
+    return unrolled_forward(p, d, c, dtypes=dtypes, ops=ops, mask=mask,
                             tower_att=att, cat_order="dc")
 
 
@@ -611,14 +605,12 @@ def _spec_rmcr_nlar():
 
 
 def _fwd_rmcr_nlar(p, d, c, dtypes=FP32, ops=None, mask=None):
-    x, y, mask2, ops2 = _prep(d, c, mask, dtypes, ops)
-    del x, y
     return mc_forward(
-        p, d, c, dtypes=dtypes, ops=ops2, mask=mask, towers="sequential",
+        p, d, c, dtypes=dtypes, ops=ops, mask=mask, towers="sequential",
         fusion="plain",
-        tower_att=(lambda t: A.spatial_cgnl(p, "non1", t, ops2, mask2),
-                   lambda t: A.spatial_cgnl(p, "non2", t, ops2, mask2)),
-        fusion_att=lambda t: A.spatial_cgnl(p, "non3", t, ops2, mask2))
+        tower_att=(lambda t, o, m: A.spatial_cgnl(p, "non1", t, o, m),
+                   lambda t, o, m: A.spatial_cgnl(p, "non2", t, o, m)),
+        fusion_att=lambda t, o, m: A.spatial_cgnl(p, "non3", t, o, m))
 
 
 _entry("rmcr_nlar", _spec_rmcr_nlar, _fwd_rmcr_nlar,

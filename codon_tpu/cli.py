@@ -8,7 +8,8 @@ dataset paths are flags instead of commented-out hardcoded strings.
 
 Subcommands
 -----------
-eval     run CODONNet over a scale directory, write PNGs, report RMSE/SSIM
+eval     run a model over a scale directory, write PNGs, report RMSE/SSIM
+train    train a model on synthesized degradation pairs
 golden   score the reference's archived output/ PNGs (reproduces BASELINE.md)
 convert  torch .pth -> native .npz checkpoint
 info     print model/param summary and device info
@@ -159,7 +160,8 @@ def cmd_eval(args) -> int:
             from codon_tpu.parallel.tiling import make_tiled_forward
             raw_fwd = make_tiled_forward(variant, args.tile_devices)
         else:
-            raw_fwd = lambda p, d, c, m: variant.forward(p, d, c, mask=m)
+            def raw_fwd(p, d, c, m):
+                return variant.forward(p, d, c, mask=m)
 
         # clip+quantize ON DEVICE: the tunneled D2H link is slow (~30MB/s);
         # uint8 is 4x smaller than f32 and matches the reference's

@@ -273,14 +273,20 @@ def cmd_train(args) -> int:
 
     scale_dir = _scale_dir(args)
     names = discover_pairs(scale_dir)
-    labels, colors = [], []
+    labels, colors, degraded = [], [], []
     for n in names:
         labels.append(imread_gray(os.path.join(scale_dir, "input_label",
                                                n + ".png")))
         colors.append(imread_gray(os.path.join(scale_dir, "input_color",
                                                n + ".png")))
+        dpath = os.path.join(scale_dir, "input_depth", n + ".png")
+        if os.path.exists(dpath):
+            degraded.append(imread_gray(dpath))
+    use_real = len(degraded) == len(labels)
     print(f"train x{args.scale}: {len(labels)} source images, "
-          f"patch={args.patch} batch={args.batch} steps={args.steps}")
+          f"patch={args.patch} batch={args.batch} steps={args.steps} "
+          f"[{'shipped input_depth' if use_real else 'synthesized'} "
+          f"degradation]")
 
     import dataclasses
     from codon_tpu.core.params import BF16, FP16, FP32
@@ -302,7 +308,8 @@ def cmd_train(args) -> int:
 
     sampler = PatchSampler(labels, colors, scale=args.scale,
                            patch=args.patch, batch=args.batch,
-                           seed=args.seed)
+                           seed=args.seed,
+                           degraded=degraded if use_real else None)
     t0 = time.time()
     for i in range(1, args.steps + 1):
         params, opt_state, m = step(params, opt_state, sampler.sample())

@@ -26,7 +26,13 @@ def synthesize_lr(label: np.ndarray, scale: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class PatchSampler:
-    """Random (depth, color, label) patch batches from image pairs."""
+    """Random (depth, color, label) patch batches from image pairs.
+
+    `degraded`: the actual LR-upsampled depth inputs when available (the
+    reference datasets ship them as input_depth/ — matching the true
+    degradation beats re-synthesizing it); otherwise bicubic down-up
+    synthesis from the labels.
+    """
 
     labels: List[np.ndarray]          # uint8 GT depth images
     colors: List[np.ndarray]          # uint8 grayscale guidance
@@ -35,11 +41,17 @@ class PatchSampler:
     batch: int = 16
     seed: int = 0
     augment: bool = True
+    degraded: List[np.ndarray] = None
 
     def __post_init__(self):
         assert len(self.labels) == len(self.colors)
         self._rng = np.random.RandomState(self.seed)
-        self._degraded = [synthesize_lr(l, self.scale) for l in self.labels]
+        if self.degraded is not None:
+            assert len(self.degraded) == len(self.labels)
+            self._degraded = self.degraded
+        else:
+            self._degraded = [synthesize_lr(l, self.scale)
+                              for l in self.labels]
 
     def __iter__(self) -> Iterator[dict]:
         while True:

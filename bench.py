@@ -18,7 +18,7 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 0.030  # torch-CPU reference, BASELINE.md
 H, W = 370, 463               # Art.png eval size
-BATCH = 8
+BATCH = 16                    # b16 + stencil spatial gate: best measured
 WARMUP, ITERS = 3, 10
 
 

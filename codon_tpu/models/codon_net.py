@@ -204,14 +204,16 @@ def cac_spatial_gate(x, sp_w, ops: Ops, mask=None, impl: str = "conv"):
         k = sp_w.shape[0]
         r = (k - 1) // 2
         n, h, w, _ = cmax.shape
-        planes = jnp.concatenate([cmax, cmean], axis=-1)  # (N,H,W,2)
-        pp = jnp.pad(planes, ((0, 0), (r, r), (r, r), (0, 0)))
-        wk = sp_w.astype(planes.dtype)
+        # two separate (N,H,W) planes: keeps W on lanes, avoids the
+        # lane-hostile (N,H,W,2) layout entirely
+        pa = jnp.pad(cmax[..., 0], ((0, 0), (r, r), (r, r)))
+        pb = jnp.pad(cmean[..., 0], ((0, 0), (r, r), (r, r)))
+        wk = sp_w.astype(pa.dtype)
         acc = None
         for dy in range(k):
             for dx in range(k):
-                tap = (pp[:, dy:dy + h, dx:dx + w, 0] * wk[dy, dx, 0, 0] +
-                       pp[:, dy:dy + h, dx:dx + w, 1] * wk[dy, dx, 1, 0])
+                tap = (pa[:, dy:dy + h, dx:dx + w] * wk[dy, dx, 0, 0] +
+                       pb[:, dy:dy + h, dx:dx + w] * wk[dy, dx, 1, 0])
                 acc = tap if acc is None else acc + tap
         logits = acc[..., None]
         if mask is not None:

@@ -82,6 +82,9 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--log-every", type=int, default=100)
     t.add_argument("--check-nans", action="store_true",
                    help="enable jax debug_nans (fail fast on NaN/inf)")
+    t.add_argument("--exclude", default="",
+                   help="comma-separated image names to hold out of "
+                        "training (for held-out evaluation)")
 
     g = sub.add_parser("golden", help="score archived reference outputs")
     g.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
@@ -273,6 +276,13 @@ def cmd_train(args) -> int:
 
     scale_dir = _scale_dir(args)
     names = discover_pairs(scale_dir)
+    excluded = {n.strip() for n in args.exclude.split(",") if n.strip()}
+    if excluded:
+        missing = excluded - set(names)
+        if missing:
+            raise SystemExit(f"--exclude names not in dataset: {missing}")
+        names = [n for n in names if n not in excluded]
+        print(f"holding out: {sorted(excluded)}")
     labels, colors, degraded = [], [], []
     for n in names:
         labels.append(imread_gray(os.path.join(scale_dir, "input_label",

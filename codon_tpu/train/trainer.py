@@ -64,13 +64,15 @@ def make_optimizer(cfg: TrainConfig):
 
 
 def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
-                    donate: bool = True):
+                    donate: bool = True, ops=None):
     """Returns (step_fn, tx). step_fn(params, opt_state, batch) ->
     (params, opt_state, metrics). batch: dict with depth/color/label/mask,
     all (B, H, W, 1) float32.
 
     With `mesh`, the forward runs shard_map'd over (dp, sp); put batch
     arrays with NamedSharding(mesh, P('dp','sp')) for zero resharding.
+    `ops`: optional Ops backend override (e.g. quant_ops.FakeQuantOps for
+    QAT); single-device path only.
     """
     tx = make_optimizer(cfg)
 
@@ -78,7 +80,8 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
         fwd = make_sharded_forward(variant, mesh, jit_compile=False)
     else:
         def fwd(params, depth, color, mask):
-            return variant.forward(params, depth, color, mask=mask)
+            return variant.forward(params, depth, color, mask=mask,
+                                   ops=ops)
 
     def loss_fn(params, batch):
         out = fwd(params, batch["depth"], batch["color"], batch["mask"])

@@ -19,6 +19,16 @@ training/inference consistency. Tiny convs (guidance/gate convs with
 <=2 in or out channels, i.e. the stems' first layer, the output head and
 the CAC spatial gate) stay in the float path in BOTH backends.
 
+Measured on v5e (x4, b16@463x370, QAT'd checkpoint):
+  bf16                          45.3 img/s   RMSE 1.662
+  int8 dynamic (this module)    44.4 img/s   RMSE 1.746  <- quality holds
+  int8 static  (quant.py PTQ)   58.6 img/s   RMSE 4.30   <- scales too coarse
+The dynamic-scale max-reductions and the unfusable f32->int8 round trip
+eat the MXU gain; the static path keeps it but per-image activation ranges
+vary too much for calibrated scales even after dynamic-scale QAT. The
+open round-2 lead: QAT against FROZEN calibrated scales (or LSQ-learned
+scales) so inference can run the fast static path at QAT quality.
+
 Because these are Ops backends, every model in the framework (flagship +
 zoo) can run quantized without touching model code.
 """

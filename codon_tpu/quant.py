@@ -234,3 +234,94 @@ def forward_w8a8(qparams, w_scales, a_scales, depth, color, cfg):
     hm = relu(_fconv(out_f, qw("conv11")))
     head = _fconv(hm, qw("output"))
     return (head + residual).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# frozen-scale QAT: train float params against the EXACT static-int8 grid
+# ---------------------------------------------------------------------------
+
+def _ste(t, q):
+    """Straight-through: forward q, gradient of t."""
+    return t + lax.stop_gradient(q - t)
+
+
+def _fq_act(f, scale):
+    q = jnp.clip(jnp.round(f * (1.0 / scale)), -127, 127) * scale
+    return _ste(f, q)
+
+
+def _fq_w(w):
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127) * s
+    return _ste(w, q)
+
+
+def forward_w8a8_fake(params, a_scales, depth, color, cfg):
+    """STE twin of forward_w8a8: float convs over the SAME quantization
+    grid the static int8 path uses (fixed calibrated activation scales,
+    per-channel weight scales). Fine-tuning against this makes the fast
+    static path (forward_w8a8) hold quality at inference."""
+    from codon_tpu.models.codon_net import (cac_channel_gate,
+                                            cac_spatial_gate)
+    from codon_tpu.core.ops import XlaOps
+
+    ops = XlaOps()
+    relu = jax.nn.relu
+    s = lambda k: a_scales[k] / 127.0
+    conv = lambda w, t: lax.conv_general_dilated(
+        t, w.astype(t.dtype), (1, 1), "SAME", dimension_numbers=_DN)
+    qconv = lambda w, t, sk: conv(_fq_w(w), _fq_act(t, s(sk)))
+
+    x = depth.astype(jnp.float32)
+    residual = x
+    sm = relu(conv(params["input"], x))
+    inputs = relu(qconv(params["conv_input"], sm, "stem_mid"))
+    smc = relu(conv(params["input_c"], color.astype(jnp.float32)))
+    inputs_c = relu(qconv(params["conv_input_c"], smc, "stem_mid"))
+    out, out_c = inputs, inputs_c
+    cac = params["cac"]
+    mc_r, fu_r = _stages(cfg)
+    for i in mc_r:
+        a1 = relu(qconv(params["conv1"], out, f"out{i}"))
+        a2 = relu(qconv(params["conv2"], out, f"out{i}"))
+        b1 = relu(qconv(params["conv4"], out_c, f"outc{i}"))
+        b2 = relu(qconv(params["conv5"], out_c, f"outc{i}"))
+        dcat = jnp.concatenate([_fq_act(a1, s(f"dcat{i}")),
+                                _fq_act(a2, s(f"dcat{i}"))], -1)
+        ccat = jnp.concatenate([_fq_act(b1, s(f"ccat{i}")),
+                                _fq_act(b2, s(f"ccat{i}"))], -1)
+        d3 = relu(conv(_fq_w(params["conv3"]), dcat))
+        c6 = relu(conv(_fq_w(params["conv6"]), ccat))
+        out = qconv(params["confuse"], d3, f"d3_{i}")
+        out_c = qconv(params["confuse_c"], c6, f"c6_{i}")
+        fcat = (out_c, out)
+        ch = cac_channel_gate(fcat, cac["ch_w1"][i], cac["ch_b1"][i],
+                              cac["ch_w2"][i], cac["ch_b2"][i], ops)
+        sp = cac_spatial_gate(fcat, cac["sp_w"][i], ops, impl="stencil")
+        ad = ch * sp
+        out = out * ad + inputs
+        out_c = out_c * ad + inputs_c
+    s_cat = max(a_scales["out_last"], a_scales["outc_last"]) / 127.0
+    cat_in = jnp.concatenate([_fq_act(out, s_cat),
+                              _fq_act(out_c, s_cat)], -1)
+    fuse = relu(conv(_fq_w(params["conv7"]), cat_in))
+    out_f = fuse
+    for j in fu_r:
+        f1 = relu(qconv(params["conv8"], out_f, f"fuse_in{j}"))
+        f2 = relu(qconv(params["conv9"], out_f, f"fuse_in{j}"))
+        fcat8 = jnp.concatenate([_fq_act(f1, s(f"fcat{j}")),
+                                 _fq_act(f2, s(f"fcat{j}"))], -1)
+        f10 = relu(conv(_fq_w(params["conv10"]), fcat8))
+        out_f = qconv(params["confuse_fuse"], f10, f"f10_{j}") + fuse
+    hm = relu(conv(params["conv11"], out_f))
+    head = conv(params["output"], hm)
+    return (head + residual).astype(jnp.float32)
+
+
+def save_scales(path, a_scales):
+    np.savez(path, **{k: np.float32(v) for k, v in a_scales.items()})
+
+
+def load_scales(path):
+    data = np.load(path)
+    return {k: float(data[k]) for k in data.files}

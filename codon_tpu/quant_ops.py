@@ -25,9 +25,13 @@ Measured on v5e (x4, b16@463x370, QAT'd checkpoint):
   int8 static  (quant.py PTQ)   58.6 img/s   RMSE 4.30   <- scales too coarse
 The dynamic-scale max-reductions and the unfusable f32->int8 round trip
 eat the MXU gain; the static path keeps it but per-image activation ranges
-vary too much for calibrated scales even after dynamic-scale QAT. The
-open round-2 lead: QAT against FROZEN calibrated scales (or LSQ-learned
-scales) so inference can run the fast static path at QAT quality.
+vary too much for calibrated scales even after dynamic-scale QAT. Frozen-scale
+QAT (scripts/qat_static.py, two calibrate+retune iterations) recovered
+only RMSE 3.50 at 58.6 img/s — per-tensor static scales stay too coarse
+for this net's activation spread (and the CAC global pools see patches
+during training vs full frames at eval). Remaining round-2 leads: a
+Pallas fused max+quantize epilogue to make DYNAMIC scales cheap, or
+LSQ-learned per-channel activation scales.
 
 Because these are Ops backends, every model in the framework (flagship +
 zoo) can run quantized without touching model code.

@@ -91,3 +91,24 @@ def test_convert_and_info(tmp_path):
     assert cli.main(["convert", "--pth", pth, "--npz", npz]) == 0
     assert os.path.exists(npz)
     assert cli.main(["info", "--variant", "codon"]) == 0
+
+
+def test_eval_tiled_devices(tmp_path):
+    """--tile-devices: spatially-sharded eval over the virtual CPU mesh."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data, n=2, hw=(40, 33))
+    out = str(tmp_path / "out_tiled")
+    out_ref = str(tmp_path / "out_ref")
+    j1, j2 = str(tmp_path / "t.json"), str(tmp_path / "r.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--out", out, "--json", j1, "--dtype", "fp32",
+                   "--pad-multiple", "8", "--tile-devices", "4"])
+    assert rc == 0
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--out", out_ref, "--json", j2, "--dtype", "fp32",
+                   "--pad-multiple", "8"])
+    assert rc == 0
+    m1, m2 = json.load(open(j1)), json.load(open(j2))
+    # tiled execution is exact: identical metrics to the untiled run
+    assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 1e-6
+    assert abs(m1["mean_ssim"] - m2["mean_ssim"]) < 1e-6

@@ -112,17 +112,16 @@ def _scale_dir(args) -> str:
     return os.path.join(args.data_root, f"CODON_X{args.scale}")
 
 
-def _load_params(args, cfg):
+def _load_params(args, variant):
     import jax
     from codon_tpu.checkpoint import load_npz, load_pth
-    from codon_tpu.models.codon_net import init_codon_params
 
     if args.ckpt is None:
         print("WARNING: no --ckpt given; using random init "
               "(outputs will not match the reference).")
-        return init_codon_params(jax.random.PRNGKey(0), cfg)
+        return variant.init(jax.random.PRNGKey(0))
     if args.ckpt.endswith(".pth"):
-        params, epoch = load_pth(args.ckpt, cfg)
+        params, epoch = load_pth(args.ckpt, variant.cfg)
         print(f"loaded torch checkpoint {args.ckpt} (epoch {epoch})")
         return params
     params = load_npz(args.ckpt)
@@ -154,7 +153,7 @@ def cmd_eval(args) -> int:
         if args.dtype == "int8":
             from codon_tpu.quant_ops import Int8Ops
             eval_ops = Int8Ops()
-        params = _load_params(args, variant.cfg)
+        params = _load_params(args, variant)
         names = discover_pairs(scale_dir)
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")

@@ -112,3 +112,17 @@ def test_eval_tiled_devices(tmp_path):
     # tiled execution is exact: identical metrics to the untiled run
     assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 1e-6
     assert abs(m1["mean_ssim"] - m2["mean_ssim"]) < 1e-6
+
+
+def test_eval_zoo_variant(tmp_path):
+    """Zoo variants run through the full eval pipeline (regression: the
+    random-init fallback must use the variant's own init)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data, n=2, hw=(34, 29))
+    out = str(tmp_path / "outz")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--out", out, "--dtype", "fp32",
+                   "--pad-multiple", "8", "--variant",
+                   "zoo:rmcr_fuse_rmcr"])
+    assert rc == 0
+    assert len(os.listdir(out)) == 2

@@ -199,6 +199,7 @@ def cmd_eval(args) -> int:
         per_image = []
         n = 0
         t_total = t_compute = 0.0
+        batch_times = []
         t0_all = time.time()
         for batch in batched_loader(scale_dir, names, args.batch,
                                     args.pad_multiple):
@@ -214,6 +215,7 @@ def cmd_eval(args) -> int:
                 out = (np.asarray(stats["out_u8"])
                        if not args.no_save else None)
                 t_compute += time.time() - t0
+                batch_times.append((time.time() - t0, len(batch.names)))
                 for i, name in enumerate(batch.names):
                     h, w = batch.sizes[i]
                     if out is not None:
@@ -229,6 +231,7 @@ def cmd_eval(args) -> int:
             out = np.asarray(fwd_u8(params, batch.depth, batch.color,
                                     batch.mask))
             t_compute += time.time() - t0
+            batch_times.append((time.time() - t0, len(batch.names)))
             for i, name in enumerate(batch.names):
                 h, w = batch.sizes[i]
                 img_u8 = out[i, :h, :w]
@@ -248,8 +251,16 @@ def cmd_eval(args) -> int:
         if profile_ctx:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {profile_ctx}")
+        # steady-state throughput: the first batch pays XLA compile and
+        # the (minutes-long, on tunneled platforms) executable load
+        steady = None
+        if len(batch_times) > 1:
+            dt = sum(t for t, _ in batch_times[1:])
+            imgs = sum(k for _, k in batch_times[1:])
+            steady = imgs / dt if dt > 0 else None
         summary = {
             "scale": args.scale, "images": len(names),
+            "img_per_sec_steady": steady,
             "mean_rmse": rmse_sum / n if n else None,
             "mean_ssim": ssim_sum / n if n else None,
             "img_per_sec_e2e": len(names) / t_total if t_total else None,
@@ -262,6 +273,9 @@ def cmd_eval(args) -> int:
             print(rmse_sum / n, ssim_sum / n)
         print(f"images/sec (end-to-end): {summary['img_per_sec_e2e']:.3f}  "
               f"(compute+D2H only: {summary['img_per_sec_compute']:.3f})")
+        if steady:
+            print(f"images/sec (steady-state, first batch excluded: it "
+                  f"pays compile + executable load): {steady:.3f}")
         if getattr(args, "json", None):
             with open(args.json, "w") as f:
                 json.dump(summary, f, indent=2)

@@ -20,6 +20,7 @@ BASELINE_IMG_PER_SEC = 0.030  # torch-CPU reference, BASELINE.md
 H, W = 370, 463               # Art.png eval size
 BATCH = 16                    # b16 + stencil spatial gate: best measured
 WARMUP, ITERS = 3, 10
+VARIANT = "codon"             # X4/X8 flagship flavor (incl. dead heads)
 
 
 def main() -> None:
@@ -29,7 +30,7 @@ def main() -> None:
     from codon_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    variant = get_variant("codon", dtypes=BF16)
+    variant = get_variant(VARIANT, dtypes=BF16)
     params = variant.init(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     depth = jax.device_put(rng.rand(BATCH, H, W, 1).astype(np.float32))
@@ -52,7 +53,8 @@ def main() -> None:
 
     img_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": f"codon_x16_inference_img_per_sec_{W}x{H}_bf16_b{BATCH}",
+        "metric": (f"{VARIANT}_inference_img_per_sec_"
+                   f"{W}x{H}_bf16_b{BATCH}"),
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 1),

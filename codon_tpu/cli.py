@@ -49,7 +49,13 @@ def _build_argparser() -> argparse.ArgumentParser:
     e.add_argument("--variant", default="codon",
                    help="model variant name (see models.variants registry)")
     e.add_argument("--tile-devices", type=int, default=0,
-                   help=">1: spatially-tiled inference over N devices")
+                   help=">1: spatially-tiled inference over N devices "
+                        "(the image H axis sharded, halo-exchange convs, "
+                        "psum'd CAC stats)")
+    e.add_argument("--dp-devices", type=int, default=0,
+                   help=">1: batch data-parallel inference over N devices "
+                        "(the DataParallel analog; composable with "
+                        "--tile-devices into a dp x sp mesh)")
     e.add_argument("--resume", action="store_true",
                    help="skip images whose output PNG already exists")
     e.add_argument("--json", default=None,
@@ -87,6 +93,11 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--exclude", default="",
                    help="comma-separated image names to hold out of "
                         "training (for held-out evaluation)")
+    t.add_argument("--augment", choices=("full", "flips", "none"),
+                   default="full",
+                   help="patch augmentation: full = flips+rot90+photometric"
+                        " guidance jitter+depth affine (generalization "
+                        "recipe); flips = geometric only")
     t.add_argument("--qat", action="store_true",
                    help="quantization-aware fine-tuning (fake-quant convs; "
                         "deploy with eval --dtype int8)")
@@ -166,11 +177,31 @@ def cmd_eval(args) -> int:
             names = [n for n in names if n not in done]
             if not names:
                 print("resume: nothing to do")
+                if getattr(args, "json", None):
+                    # keep scripted pipelines honest: write a (trivially
+                    # complete) summary instead of leaving a stale file
+                    with open(args.json, "w") as f:
+                        json.dump({"scale": args.scale, "images": 0,
+                                   "resumed_all": True, "per_image": []}, f,
+                                  indent=2)
+                    print(f"metrics written to {args.json}")
                 return 0
 
-        if args.tile_devices > 1:
+        dp = max(1, getattr(args, "dp_devices", 0))
+        sp = max(1, args.tile_devices)
+        if dp > 1 or sp > 1:
             from codon_tpu.parallel.tiling import make_tiled_forward
-            raw_fwd = make_tiled_forward(variant, args.tile_devices)
+            ops_factory = None
+            if args.dtype == "int8":
+                # tiled/dp int8 keeps the quantized path (round-1 bug:
+                # the mesh branch silently fell back to bf16)
+                from codon_tpu.quant_ops import Int8ShardedOps
+                ops_factory = Int8ShardedOps
+            raw_fwd = make_tiled_forward(variant, sp, dp,
+                                         ops_factory=ops_factory,
+                                         local_ops=eval_ops)
+            print(f"mesh eval: dp={dp} x sp={sp} over "
+                  f"{dp * sp} devices")
         else:
             def raw_fwd(p, d, c, m):
                 return variant.forward(p, d, c, mask=m, ops=eval_ops)
@@ -346,7 +377,7 @@ def cmd_train(args) -> int:
 
     sampler = PatchSampler(labels, colors, scale=args.scale,
                            patch=args.patch, batch=args.batch,
-                           seed=args.seed,
+                           seed=args.seed, augment=args.augment,
                            degraded=degraded if use_real else None)
     t0 = time.time()
     for i in range(1, args.steps + 1):

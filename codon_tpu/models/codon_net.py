@@ -15,8 +15,10 @@ Structure (all convs stride-1 shape-preserving, bias-free; width 64):
   5x interleaved MC+CAC stages (shared conv weights, per-stage CAC weights):
     depth cell: cat(relu(conv1 3x3), relu(conv2 5x5)) -> relu(conv3 5x5,128)
                 -> confuse 1x1 -> 64
-    color cell: cat(relu(conv4 5x5), relu(conv5 3x3)) [cat order: conv5 first]
-                -> relu(conv6 5x5,128) -> confuse_c 1x1 -> 64
+    color cell: cat(relu(conv4 5x5), relu(conv5 3x3)) [conv4 (5x5) output
+                first, matching reference CODON_x4.py:79-80; only the
+                CODON_X16/model/CODONet.py flavor (color_cat_swapped) swaps
+                it] -> relu(conv6 5x5,128) -> confuse_c 1x1 -> 64
     CAC: cat(out_c, out) [color first] -> channel gate (global avg+max pool
          -> MLP 128->8->64 -> sigmoid) * spatial gate (channel max+mean ->
          5x5 conv 2->1 -> sigmoid); both towers multiplied by the same gate,
@@ -64,6 +66,14 @@ class CodonConfig:
     # (~5x smaller HLO, much faster compiles — the default for training,
     # whose fwd+bwd program otherwise takes minutes on the remote compiler).
     loop_impl: str = "unroll"
+    # Cell lowering: "packed" merges each cell's 3x3 || 5x5 conv pair into
+    # ONE 5x5 C->2C conv (the 3x3 zero-embedded into a 5x5 kernel at trace
+    # time). The MXU is 128 lanes wide, so the separate 64-out-channel convs
+    # ran at half lane utilization; the merged conv runs full-lane AND
+    # removes the concat. Numerically identical math (the zero ring
+    # contributes exact 0.0 products); same checkpoints. "split" keeps the
+    # reference op structure (conv1/conv2 separate).
+    cell_impl: str = "packed"
 
     @property
     def cat_width(self) -> int:
@@ -142,6 +152,32 @@ def init_codon_params(key: jax.Array, cfg: CodonConfig = CodonConfig()):
         }
 
     return params
+
+
+# --------------------------------------------------------------------------
+# kernel packing (cell_impl="packed")
+# --------------------------------------------------------------------------
+
+def pack_kernel_pair(ka, kb):
+    """Merge two same-input conv kernels into one wider-output kernel.
+
+    (kh_a,kw_a,C,Oa) + (kh_b,kw_b,C,Ob) -> (kh,kw,C,Oa+Ob) with the smaller
+    kernel zero-embedded in the larger window. relu(conv(x, packed)) ==
+    cat(relu(conv(x, ka)), relu(conv(x, kb))) exactly (the zero ring
+    contributes 0.0 products), but runs as ONE full-lane MXU conv instead
+    of two half-lane ones — the dominant single-chip win on this net, where
+    every 64-out-channel conv wastes half the 128-wide MXU.
+    """
+    kh = max(ka.shape[0], kb.shape[0])
+
+    def emb(k):
+        ph = (kh - k.shape[0]) // 2
+        pw = (kh - k.shape[1]) // 2
+        if ph == 0 and pw == 0:
+            return k
+        return jnp.pad(k, ((ph, ph), (pw, pw), (0, 0), (0, 0)))
+
+    return jnp.concatenate([emb(ka), emb(kb)], axis=3)
 
 
 # --------------------------------------------------------------------------
@@ -289,14 +325,31 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
     cac = p.get("cac") if cfg.use_cac else None
     use_pallas = cac is not None and _use_pallas_cac(cfg, ops)
 
+    packed = cfg.cell_impl == "packed"
+    if packed:
+        # depth cell cats (conv1 3x3, conv2 5x5); color cell cats
+        # (conv4 5x5, conv5 3x3) — reference CODON_x4.py:79-80; the
+        # X16-model-dir flavor swaps the color order (CODONet.py:146-150)
+        m_d = pack_kernel_pair(p["conv1"], p["conv2"])
+        c_pair = [p["conv4"], p["conv5"]]
+        if cfg.color_cat_swapped:
+            c_pair.reverse()
+        m_c = pack_kernel_pair(*c_pair)
+        m_f = pack_kernel_pair(p["conv8"], p["conv9"])
+
     def mc_stage(out, out_c, cac_i):
         """One MC+CAC stage. cac_i: per-stage CAC param slice or None."""
-        d_cat = jnp.concatenate([relu(conv("conv1", out)),
-                                 relu(conv("conv2", out))], axis=-1)
-        c_parts = [relu(conv("conv4", out_c)), relu(conv("conv5", out_c))]
-        if cfg.color_cat_swapped:
-            c_parts.reverse()
-        c_cat = jnp.concatenate(c_parts, axis=-1)
+        if packed:
+            d_cat = relu(conv(m_d, out))
+            c_cat = relu(conv(m_c, out_c))
+        else:
+            d_cat = jnp.concatenate([relu(conv("conv1", out)),
+                                     relu(conv("conv2", out))], axis=-1)
+            c_parts = [relu(conv("conv4", out_c)),
+                       relu(conv("conv5", out_c))]
+            if cfg.color_cat_swapped:
+                c_parts.reverse()
+            c_cat = jnp.concatenate(c_parts, axis=-1)
         out = conv("confuse", relu(conv("conv3", d_cat)))
         out_c = conv("confuse_c", relu(conv("conv6", c_cat)))
 
@@ -321,8 +374,11 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
         return out + inputs, out_c + inputs_c
 
     def fuse_stage(out_f, fuse):
-        f_cat = jnp.concatenate([relu(conv("conv8", out_f)),
-                                 relu(conv("conv9", out_f))], axis=-1)
+        if packed:
+            f_cat = relu(conv(m_f, out_f))
+        else:
+            f_cat = jnp.concatenate([relu(conv("conv8", out_f)),
+                                     relu(conv("conv9", out_f))], axis=-1)
         return conv("confuse_fuse", relu(conv("conv10", f_cat))) + fuse
 
     if cfg.loop_impl == "scan" and not use_pallas:
@@ -455,28 +511,38 @@ def sequential_tower_forward(params, depth, color, *,
     relu = jax.nn.relu
     cdt = cfg.dtypes.compute_dtype
     x, y = depth.astype(cdt), color.astype(cdt)
-    conv = lambda n, t: ops.conv2d(t, params[n], mask=mask)
+    conv = lambda n, t: ops.conv2d(
+        t, params[n] if isinstance(n, str) else n, mask=mask)
+
+    packed = cfg.cell_impl == "packed"
+    if packed:
+        m_d = pack_kernel_pair(params["conv1"], params["conv2"])
+        m_c = pack_kernel_pair(params["conv4"], params["conv5"])
+        m_f = pack_kernel_pair(params["conv8"], params["conv9"])
 
     residual = x
     inputs = relu(conv("conv_input", relu(conv("input", x))))
     out = inputs
     for _ in range(cfg.num_mc):
-        cat = jnp.concatenate([relu(conv("conv1", out)),
-                               relu(conv("conv2", out))], axis=-1)
+        cat = (relu(conv(m_d, out)) if packed else
+               jnp.concatenate([relu(conv("conv1", out)),
+                                relu(conv("conv2", out))], axis=-1))
         out = conv("confuse", relu(conv("conv3", cat))) + inputs
 
     inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
     out_c = inputs_c
     for _ in range(cfg.num_mc):
-        cat = jnp.concatenate([relu(conv("conv4", out_c)),
-                               relu(conv("conv5", out_c))], axis=-1)
+        cat = (relu(conv(m_c, out_c)) if packed else
+               jnp.concatenate([relu(conv("conv4", out_c)),
+                                relu(conv("conv5", out_c))], axis=-1))
         out_c = conv("confuse_c", relu(conv("conv6", cat))) + inputs_c
 
     fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
     out_f = fuse
     for _ in range(cfg.num_fuse):
-        cat = jnp.concatenate([relu(conv("conv8", out_f)),
-                               relu(conv("conv9", out_f))], axis=-1)
+        cat = (relu(conv(m_f, out_f)) if packed else
+               jnp.concatenate([relu(conv("conv8", out_f)),
+                                relu(conv("conv9", out_f))], axis=-1))
         out_f = conv("confuse_fuse", relu(conv("conv10", cat))) + fuse
 
     out = relu(conv("conv11", out_f))

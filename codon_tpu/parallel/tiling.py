@@ -30,16 +30,26 @@ from codon_tpu.parallel.ops import ShardedOps
 
 def make_sharded_forward(variant, mesh: Mesh, batch_axis: Optional[str] = "dp",
                          spatial_axis: Optional[str] = "sp",
-                         jit_compile: bool = True):
+                         jit_compile: bool = True, ops_factory=None,
+                         local_ops=None):
     """(params, depth, color, mask) -> out, sharded over `mesh`.
 
     mask is REQUIRED here (pass ones): specs are static over the pytree.
     jit_compile=False returns the bare shard_map'd function — differentiable,
     for composition inside a larger jit (e.g. the train step).
+    ops_factory(axis_name, acc_dtype=..., precision=...) overrides the
+    per-shard Ops backend (e.g. quant_ops.Int8ShardedOps for tiled int8);
+    local_ops is the Ops instance used when spatial_axis is None (pure dp
+    replicates the whole image per shard, so a plain single-device backend
+    such as quant_ops.Int8Ops is correct there).
     """
     dt = variant.cfg.dtypes
-    ops = ShardedOps(spatial_axis, acc_dtype=dt.acc_dtype,
-                     precision=dt.precision) if spatial_axis else None
+    if spatial_axis:
+        factory = ops_factory or ShardedOps
+        ops = factory(spatial_axis, acc_dtype=dt.acc_dtype,
+                      precision=dt.precision)
+    else:
+        ops = local_ops
 
     def local_fwd(params, depth, color, mask):
         return variant.forward(params, depth, color, mask=mask, ops=ops)
@@ -84,15 +94,30 @@ def tiled_infer(variant, params, depth, color, mask=None, mesh=None,
     return np.asarray(out)[:, :H]
 
 
-def make_tiled_forward(variant, n_devices: int):
-    """CLI hook: returns fwd(params, depth, color, mask) over an sp mesh."""
-    mesh = make_mesh([1, n_devices])
-    fwd = make_sharded_forward(variant, mesh)
+def make_tiled_forward(variant, n_devices: int, dp_devices: int = 1,
+                       ops_factory=None, local_ops=None):
+    """CLI hook: fwd(params, depth, color, mask) over a dp x sp mesh.
+
+    n_devices shards the image H axis (sp, spatial tiling); dp_devices
+    shards the batch (dp — the user-facing DataParallel analog of
+    /root/reference/CODON_X16/test.py:52). Either may be 1. Input batches
+    are padded to a dp multiple (with all-ones masks on padding so the CAC
+    pool counts stay nonzero) and H to an sp multiple; both pads are
+    cropped/dropped from the output.
+    """
+    sp = max(1, n_devices)
+    dp = max(1, dp_devices)
+    mesh = make_mesh([dp, sp])
+    fwd = make_sharded_forward(
+        variant, mesh,
+        batch_axis="dp" if dp > 1 else None,
+        spatial_axis="sp" if sp > 1 else None,
+        ops_factory=ops_factory, local_ops=local_ops)
 
     def run(params, depth, color, mask):
         B, H, Wd, _ = depth.shape
-        n_sp = mesh.shape["sp"]
-        Hp = -(-H // n_sp) * n_sp
+        Hp = -(-H // sp) * sp
+        Bp = -(-B // dp) * dp
         if mask is None:
             mask = jnp.ones((B, H, Wd, 1), jnp.float32)
         if Hp != H:
@@ -100,6 +125,13 @@ def make_tiled_forward(variant, n_devices: int):
             depth = jnp.pad(depth, padw)
             color = jnp.pad(color, padw)
             mask = jnp.pad(mask, padw)
-        return fwd(params, depth, color, mask)[:, :H]
+        if Bp != B:
+            padb = [(0, Bp - B), (0, 0), (0, 0), (0, 0)]
+            depth = jnp.pad(depth, padb)
+            color = jnp.pad(color, padb)
+            # padding images keep mask=1: an all-zero "image" is perfectly
+            # valid input, while a zero mask would 0/0 the CAC avg pool
+            mask = jnp.pad(mask, padb, constant_values=1.0)
+        return fwd(params, depth, color, mask)[:B, :H]
 
     return run

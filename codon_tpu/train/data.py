@@ -40,7 +40,11 @@ class PatchSampler:
     patch: int = 64
     batch: int = 16
     seed: int = 0
-    augment: bool = True
+    # "full": flips + rot90 + photometric jitter on the guidance +
+    #         joint depth/label affine (range-preserving) — the
+    #         generalization recipe for tiny training sets;
+    # "flips": geometric flips only (the round-1 recipe); "none"/False: off
+    augment: str = "full"
     degraded: List[np.ndarray] = None
 
     def __post_init__(self):
@@ -68,16 +72,35 @@ class PatchSampler:
             h, w = lab.shape
             y = self._rng.randint(max(1, h - P + 1))
             x = self._rng.randint(max(1, w - P + 1))
-            lp = lab[y:y + P, x:x + P]
-            cp = col[y:y + P, x:x + P]
-            dp = deg[y:y + P, x:x + P]
-            if self.augment:
+            lp = lab[y:y + P, x:x + P].astype(np.float32) / 255.0
+            cp = col[y:y + P, x:x + P].astype(np.float32) / 255.0
+            dp = deg[y:y + P, x:x + P].astype(np.float32) / 255.0
+            aug = self.augment if isinstance(self.augment, str) else (
+                "flips" if self.augment else "none")
+            if aug != "none":
                 if self._rng.rand() < 0.5:
                     lp, cp, dp = lp[:, ::-1], cp[:, ::-1], dp[:, ::-1]
                 if self._rng.rand() < 0.5:
                     lp, cp, dp = lp[::-1], cp[::-1], dp[::-1]
-            depth[b, ..., 0] = dp / 255.0
-            color[b, ..., 0] = cp / 255.0
-            label[b, ..., 0] = lp / 255.0
+            if aug == "full":
+                if self._rng.rand() < 0.5:   # rot90 (square patches)
+                    lp, cp, dp = lp.T, cp.T, dp.T
+                # photometric jitter on the GUIDANCE only: the color image
+                # contributes structure, not absolute intensity — unseen
+                # scenes have unseen exposure/contrast
+                g = self._rng.uniform(0.7, 1.4)
+                a = self._rng.uniform(0.8, 1.2)
+                o = self._rng.uniform(-0.1, 0.1)
+                cp = np.clip(a * cp ** g + o, 0.0, 1.0)
+                # joint range-preserving affine on depth input AND label:
+                # depth values are scale-arbitrary, the refinement task is
+                # affine-equivariant ([0,1] -> [b, s+b] subset of [0,1])
+                s = self._rng.uniform(0.5, 1.0)
+                t = self._rng.uniform(0.0, 1.0 - s)
+                lp = s * lp + t
+                dp = s * dp + t
+            depth[b, ..., 0] = dp
+            color[b, ..., 0] = cp
+            label[b, ..., 0] = lp
         return {"depth": depth, "color": color, "label": label,
                 "mask": np.ones((B, P, P, 1), np.float32)}

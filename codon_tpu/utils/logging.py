@@ -20,12 +20,14 @@ class Logger:
     """sys.stdout tee: `sys.stdout = Logger('log.txt')` or use as a context
     manager to restore the original stream on exit."""
 
-    def __init__(self, fpath: str | None = None):
+    def __init__(self, fpath: str | None = None, mode: str = "a"):
+        # append by default, matching the reference (Loger.py:32 opens 'a'
+        # so repeated runs accumulate into one log)
         self.console = sys.stdout
         self.file = None
         if fpath is not None:
             mkdir_if_missing(os.path.dirname(fpath))
-            self.file = open(fpath, "w")
+            self.file = open(fpath, mode)
 
     def __enter__(self):
         self._saved = sys.stdout

@@ -25,28 +25,44 @@ def main():
     def sync(x):
         np.asarray(x.ravel()[0])
 
-    results = []
-    for impl in ("xla", "xla_stencil"):
-        for batch in (8, 16):
-            d = jax.device_put(
-                rng.rand(batch, 370, 463, 1).astype(np.float32))
-            c = jax.device_put(
-                rng.rand(batch, 370, 463, 1).astype(np.float32))
-            cfg = dc.replace(v.cfg, cac_impl=impl)
-            f = jax.jit(lambda p, a, b: codon_forward(p, a, b, cfg=cfg))
-            sync(f(params, d, c))
-            sync(f(params, d, c))
-            t0 = time.perf_counter()
-            n = 10
-            for _ in range(n):
-                out = f(params, d, c)
-            sync(out)
-            dt = time.perf_counter() - t0
-            ips = batch * n / dt
-            results.append((impl, batch, dt / n * 1e3, ips))
-            print(f"RESULT {impl:12s} b{batch:2d}: {dt/n*1e3:7.1f}ms "
-                  f"{ips:6.2f} img/s", flush=True)
-    best = max(results, key=lambda r: r[-1])
+    def run(tag, fwd, batch, h, w, iters=10):
+        d = jax.device_put(rng.rand(batch, h, w, 1).astype(np.float32))
+        c = jax.device_put(rng.rand(batch, h, w, 1).astype(np.float32))
+        f = jax.jit(fwd)
+        sync(f(params, d, c))
+        sync(f(params, d, c))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(params, d, c)
+        sync(out)
+        dt = time.perf_counter() - t0
+        ips = batch * iters / dt
+        print(f"RESULT {tag:28s} b{batch:2d} {h}x{w}: {dt/iters*1e3:7.1f}ms "
+              f"{ips:6.2f} img/s", flush=True)
+        return ips
+
+    H, W = 370, 463
+
+    def fwd_cfg(**kw):
+        cfg = dc.replace(v.cfg, **kw)
+        return lambda p, a, b: codon_forward(p, a, b, cfg=cfg)
+
+    results = {}
+    results["packed_b16"] = run("packed", fwd_cfg(), 16, H, W)
+    results["split_b16"] = run("split", fwd_cfg(cell_impl="split"), 16, H, W)
+    results["packed_b32"] = run("packed", fwd_cfg(), 32, H, W)
+    results["packed_b16_pad32"] = run("packed pad32", fwd_cfg(), 16, 384, 480)
+    results["packed_b8"] = run("packed", fwd_cfg(), 8, H, W)
+
+    from codon_tpu.quant_ops import Int8Ops
+
+    def fwd_int8(p, a, b):
+        return codon_forward(p, a, b, cfg=v.cfg, ops=Int8Ops())
+
+    results["int8_packed_b16"] = run("int8 packed", fwd_int8, 16, H, W)
+    results["int8_packed_b32"] = run("int8 packed", fwd_int8, 32, H, W)
+
+    best = max(results.items(), key=lambda r: r[1])
     print(f"BEST: {best}")
 
 

@@ -55,6 +55,25 @@ def test_forward_parity_fp32(oracle_and_params):
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_packed_cells_match_split(oracle_and_params):
+    """cell_impl='packed' (merged 3x3||5x5 full-lane convs) is numerically
+    the same function as the reference-shaped 'split' lowering."""
+    import dataclasses
+    _, params, cfg = oracle_and_params
+    rng = np.random.RandomState(11)
+    depth = rng.rand(2, H, W, 1).astype(np.float32)
+    color = rng.rand(2, H, W, 1).astype(np.float32)
+    packed = np.asarray(codon_forward(
+        params, depth, color, cfg=dataclasses.replace(cfg,
+                                                      cell_impl="packed")))
+    split = np.asarray(codon_forward(
+        params, depth, color, cfg=dataclasses.replace(cfg,
+                                                      cell_impl="split")))
+    # fp32 accumulation-order noise only (one K=1600 contraction vs two
+    # smaller ones); the zero-embedded taps contribute exact zeros
+    np.testing.assert_allclose(packed, split, atol=2e-4, rtol=1e-3)
+
+
 def test_forward_parity_batched(oracle_and_params):
     net, params, cfg = oracle_and_params
     rng = np.random.RandomState(7)

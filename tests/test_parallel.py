@@ -53,6 +53,27 @@ def test_dp_times_sp_mesh(setup):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_dp_only_eval(setup):
+    """Pure batch-DP inference (the user-facing DataParallel analog,
+    /root/reference/CODON_X16/test.py:52) via the CLI hook."""
+    from codon_tpu.parallel.tiling import make_tiled_forward
+    v, params, depth, color, ref = setup
+    fwd = make_tiled_forward(v, 1, 2)
+    out = np.asarray(fwd(params, depth, color, None))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_dp_sp_composed_with_batch_padding(setup):
+    """dp=4 with B=2 exercises the batch-padding path (pad images carry
+    mask=1 so CAC pooling stays well-defined), composed with sp=2."""
+    from codon_tpu.parallel.tiling import make_tiled_forward
+    v, params, depth, color, ref = setup
+    fwd = make_tiled_forward(v, 2, 4)
+    out = np.asarray(fwd(params, depth, color, None))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_tiled_masked_mixed_sizes(setup):
     """Padded mixed-size batch + tiling: both exactness mechanisms at once."""
     v, params, depth, color, _ = setup

@@ -98,6 +98,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="patch augmentation: full = flips+rot90+photometric"
                         " guidance jitter+depth affine (generalization "
                         "recipe); flips = geometric only")
+    t.add_argument("--qat-static", action="store_true",
+                   help="QAT on FROZEN per-channel static activation "
+                        "scales: calibrates scales on full frames first, "
+                        "fine-tunes weights on that grid, and saves the "
+                        "scales into the checkpoint (eval --dtype int8 "
+                        "then runs the fast static path)")
     t.add_argument("--qat", action="store_true",
                    help="quantization-aware fine-tuning (fake-quant convs; "
                         "deploy with eval --dtype int8)")
@@ -160,11 +166,21 @@ def cmd_eval(args) -> int:
         dtypes = {"bf16": BF16, "fp32": FP32, "fp16": FP16,
                   "int8": BF16}[args.dtype]
         variant = get_variant(args.variant, dtypes=dtypes)
+        params = _load_params(args, variant)
+        act_scales = (params.pop("act_scales", None)
+                      if isinstance(params, dict) else None)
         eval_ops = None
         if args.dtype == "int8":
-            from codon_tpu.quant_ops import Int8Ops
-            eval_ops = Int8Ops()
-        params = _load_params(args, variant)
+            if act_scales is not None:
+                from codon_tpu.quant_ops import Int8StaticOps
+                eval_ops = Int8StaticOps(act_scales)
+                print(f"int8: static per-channel scales from checkpoint "
+                      f"({len(act_scales)} conv sites)")
+            else:
+                from codon_tpu.quant_ops import Int8Ops
+                eval_ops = Int8Ops()
+                print("int8: dynamic per-sample scales (checkpoint carries "
+                      "no act_scales; train --qat-static to add them)")
         names = discover_pairs(scale_dir)
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
@@ -195,8 +211,16 @@ def cmd_eval(args) -> int:
             if args.dtype == "int8":
                 # tiled/dp int8 keeps the quantized path (round-1 bug:
                 # the mesh branch silently fell back to bf16)
-                from codon_tpu.quant_ops import Int8ShardedOps
-                ops_factory = Int8ShardedOps
+                if act_scales is not None:
+                    from codon_tpu.quant_ops import Int8StaticShardedOps
+
+                    def ops_factory(axis_name, **kw):
+                        return Int8StaticShardedOps(act_scales,
+                                                    axis_name=axis_name,
+                                                    **kw)
+                else:
+                    from codon_tpu.quant_ops import Int8ShardedOps
+                    ops_factory = Int8ShardedOps
             raw_fwd = make_tiled_forward(variant, sp, dp,
                                          ops_factory=ops_factory,
                                          local_ops=eval_ops)
@@ -364,8 +388,32 @@ def cmd_train(args) -> int:
                                              loop_impl="scan"))
     params = (load_npz(args.ckpt_in) if args.ckpt_in
               else variant.init(jax.random.PRNGKey(args.seed)))
+    act_scales = (params.pop("act_scales", None)
+                  if isinstance(params, dict) else None)
     qat_ops = None
-    if args.qat:
+    if getattr(args, "qat_static", False):
+        from codon_tpu.data.pipeline import batched_loader
+        from codon_tpu.quant_ops import (FakeQuantStaticOps,
+                                         calibrate_act_scales)
+        # calibrate on FULL frames with the eval-shaped (unrolled) forward:
+        # scan would hide per-stage absmax inside the loop body, and eval
+        # sees whole images, not training patches
+        cal_variant = get_variant(
+            args.variant,
+            dtypes={"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype])
+
+        def cal_batches():
+            for b in batched_loader(scale_dir, names, 2, 32):
+                yield b.depth, b.color, b.mask
+
+        act_scales = calibrate_act_scales(
+            lambda p, d, c, ops, mask: cal_variant.forward(
+                p, d, c, ops=ops, mask=mask),
+            params, cal_batches())
+        qat_ops = FakeQuantStaticOps(act_scales)
+        print(f"QAT-static: calibrated {len(act_scales)} conv sites on "
+              f"{len(names)} full frames; training on the frozen grid")
+    elif args.qat:
         from codon_tpu.quant_ops import FakeQuantOps
         qat_ops = FakeQuantOps()
         print("QAT: fake-quantized convs (int8 grid, dynamic scales)")
@@ -388,6 +436,11 @@ def cmd_train(args) -> int:
             print(f"step {i:6d}  loss {loss:.5f}  "
                   f"grad_norm {float(m['grad_norm']):.3f}  "
                   f"{rate:.0f} patches/s")
+    if getattr(args, "qat_static", False) and act_scales is not None:
+        # ship the frozen grid with the weights: eval --dtype int8 detects
+        # act_scales and runs Int8StaticOps (no dynamic reductions)
+        params = dict(params)
+        params["act_scales"] = act_scales
     save_npz(args.ckpt_out, params)
     print(f"saved {args.ckpt_out}")
     return 0

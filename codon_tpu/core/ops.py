@@ -54,9 +54,16 @@ def conv2d_nhwc(x: jax.Array, w: jax.Array, *, padding="SAME",
 
 
 class Ops:
-    """Interface. `mask` is (N, H, W, 1) with 1.0 on valid pixels, or None."""
+    """Interface. `mask` is (N, H, W, 1) with 1.0 on valid pixels, or None.
 
-    def conv2d(self, x, w, *, padding="SAME"):  # pragma: no cover - interface
+    `name` identifies the conv SITE (the parameter name, or a synthetic
+    name like "packed_d" for trace-time-merged kernels). Float backends
+    ignore it; quantized backends key per-site static activation scales
+    on it (codon_tpu/quant_ops.py).
+    """
+
+    def conv2d(self, x, w, *, padding="SAME",
+               name=None):  # pragma: no cover - interface
         raise NotImplementedError
 
     def global_avg(self, x, mask=None):
@@ -81,7 +88,9 @@ class XlaOps(Ops):
         self.acc_dtype = acc_dtype
         self.precision = precision
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name  # float path: site identity is irrelevant
         out = conv2d_nhwc(x, w, padding=padding, acc_dtype=self.acc_dtype,
                           precision=self.precision, groups=groups)
         return self.apply_mask(out, mask)

@@ -313,9 +313,12 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
         y = y * mask
     p = {k: v for k, v in params.items()}
 
-    def conv(name_or_w, t):
-        w = p[name_or_w] if isinstance(name_or_w, str) else name_or_w
-        return ops.conv2d(t, w, mask=mask)
+    def conv(name_or_w, t, site=None):
+        if isinstance(name_or_w, str):
+            w, site = p[name_or_w], name_or_w
+        else:
+            w = name_or_w
+        return ops.conv2d(t, w, mask=mask, name=site)
 
     residual = x
     inputs = relu(conv("conv_input", relu(conv("input", x))))
@@ -340,8 +343,8 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
     def mc_stage(out, out_c, cac_i):
         """One MC+CAC stage. cac_i: per-stage CAC param slice or None."""
         if packed:
-            d_cat = relu(conv(m_d, out))
-            c_cat = relu(conv(m_c, out_c))
+            d_cat = relu(conv(m_d, out, site="packed_d"))
+            c_cat = relu(conv(m_c, out_c, site="packed_c"))
         else:
             d_cat = jnp.concatenate([relu(conv("conv1", out)),
                                      relu(conv("conv2", out))], axis=-1)
@@ -375,7 +378,7 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
 
     def fuse_stage(out_f, fuse):
         if packed:
-            f_cat = relu(conv(m_f, out_f))
+            f_cat = relu(conv(m_f, out_f, site="packed_f"))
         else:
             f_cat = jnp.concatenate([relu(conv("conv8", out_f)),
                                      relu(conv("conv9", out_f))], axis=-1)
@@ -511,8 +514,12 @@ def sequential_tower_forward(params, depth, color, *,
     relu = jax.nn.relu
     cdt = cfg.dtypes.compute_dtype
     x, y = depth.astype(cdt), color.astype(cdt)
-    conv = lambda n, t: ops.conv2d(
-        t, params[n] if isinstance(n, str) else n, mask=mask)
+    def conv(n, t, site=None):
+        if isinstance(n, str):
+            wk, site = params[n], n
+        else:
+            wk = n
+        return ops.conv2d(t, wk, mask=mask, name=site)
 
     packed = cfg.cell_impl == "packed"
     if packed:
@@ -524,7 +531,7 @@ def sequential_tower_forward(params, depth, color, *,
     inputs = relu(conv("conv_input", relu(conv("input", x))))
     out = inputs
     for _ in range(cfg.num_mc):
-        cat = (relu(conv(m_d, out)) if packed else
+        cat = (relu(conv(m_d, out, site="packed_d")) if packed else
                jnp.concatenate([relu(conv("conv1", out)),
                                 relu(conv("conv2", out))], axis=-1))
         out = conv("confuse", relu(conv("conv3", cat))) + inputs
@@ -532,7 +539,7 @@ def sequential_tower_forward(params, depth, color, *,
     inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
     out_c = inputs_c
     for _ in range(cfg.num_mc):
-        cat = (relu(conv(m_c, out_c)) if packed else
+        cat = (relu(conv(m_c, out_c, site="packed_c")) if packed else
                jnp.concatenate([relu(conv("conv4", out_c)),
                                 relu(conv("conv5", out_c))], axis=-1))
         out_c = conv("confuse_c", relu(conv("conv6", cat))) + inputs_c
@@ -540,7 +547,7 @@ def sequential_tower_forward(params, depth, color, *,
     fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
     out_f = fuse
     for _ in range(cfg.num_fuse):
-        cat = (relu(conv(m_f, out_f)) if packed else
+        cat = (relu(conv(m_f, out_f, site="packed_f")) if packed else
                jnp.concatenate([relu(conv("conv8", out_f)),
                                 relu(conv("conv9", out_f))], axis=-1))
         out_f = conv("confuse_fuse", relu(conv("conv10", cat))) + fuse

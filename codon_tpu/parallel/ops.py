@@ -58,7 +58,9 @@ class ShardedOps(Ops):
         self.acc_dtype = acc_dtype
         self.precision = precision
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name
         kh = w.shape[0]
         halo = (kh - 1) // 2
         xh = _halo_exchange_h(x, halo, self.axis_name)

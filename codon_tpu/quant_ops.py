@@ -94,7 +94,9 @@ def _int8_conv(x, w, *, padding, groups, sx):
 class FakeQuantOps(XlaOps):
     """QAT backend: float conv on int8-rounded values, STE gradients."""
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name
         if _skip_quant(w):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
@@ -114,7 +116,9 @@ class FakeQuantOps(XlaOps):
 class Int8Ops(XlaOps):
     """Inference backend: real int8 MXU convs with dynamic scales."""
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name
         if _skip_quant(w):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
@@ -128,12 +132,14 @@ class Int8ShardedOps(ShardedOps):
 
     The per-sample activation absmax is all-reduced over the sharded H axis
     (all_gather of the (N,1,1,1) local maxes — tiny) so every shard
-    quantizes on the identical grid; halo rows arrive in float and are
+    quantizes with the SAME scale; halo rows arrive in float and are
     quantized locally with that same scale, matching the rows' quantization
     on their home shard bit-for-bit.
     """
 
-    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1):
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name
         if _skip_quant(w):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
@@ -147,3 +153,223 @@ class Int8ShardedOps(ShardedOps):
                          padding=((0, 0), ((kw - 1) // 2,) * 2),
                          groups=groups, sx=sx)
         return self.apply_mask(out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Static per-channel activation scales
+# ---------------------------------------------------------------------------
+#
+# The dynamic backends above preserve quality but pay two extra full HBM
+# passes per conv (absmax reduction + quantize round-trip) — measured to eat
+# the entire int8 MXU gain at 463x370 (52.8 vs 52.7 img/s bf16 at b16).
+# STATIC scales remove both: quantization becomes a pure elementwise op that
+# XLA fuses into the producing conv's epilogue, activations cross HBM at
+# 1 byte, and the MXU runs int8 at ~2x the bf16 rate.
+#
+# Per-TENSOR static scales were measured insufficient (RMSE floor 3.5, see
+# module docstring). The fix is PER-INPUT-CHANNEL static scales s_c, which
+# fold EXACTLY into the weights:
+#
+#     sum_c (x_c) w_co  ==  sum_c (x_c / s_c) (s_c w_co)
+#     x8 = round(x / s)           — elementwise, no reduction
+#     w8, sw = quantize(w * s)    — per-OUT-channel scales, trace-time const
+#     out = conv_int8(x8, w8) * sw
+#
+# Scales are calibrated per conv SITE (the `name` threaded through
+# Ops.conv2d) over full-resolution frames, then optionally QAT-fine-tuned
+# with FakeQuantStaticOps so the weights adapt to the frozen grid.
+
+
+def _site_scale(act_scales, name, groups):
+    if name is None or groups != 1:
+        return None
+    return act_scales.get(name)
+
+
+def _fold_weights(w, sc):
+    """Fold per-input-channel act scales into w; returns (w8, sw)."""
+    wf = w.astype(jnp.float32) * sc[None, None, :, None]
+    sw = _w_scales(wf)
+    w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    return w8, sw
+
+
+def quantize_static(x, sc):
+    """Per-channel int8 quantization (elementwise; fuses into producers)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / sc),
+                    -127, 127).astype(jnp.int8)
+
+
+class Int8StaticOps(XlaOps):
+    """Inference backend: int8 MXU convs with static per-channel scales.
+
+    `act_scales`: {site_name: (C_in,) f32} from `calibrate_act_scales`.
+    Sites without a calibrated scale fall back to the dynamic path; tiny
+    guidance convs stay float as in all quant backends.
+    """
+
+    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None):
+        super().__init__(acc_dtype=acc_dtype, precision=precision)
+        self.act_scales = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()}
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        if _skip_quant(w):
+            return super().conv2d(x, w, padding=padding, mask=mask,
+                                  groups=groups)
+        sc = _site_scale(self.act_scales, name, groups)
+        if sc is None:
+            out = _int8_conv(x, w, padding=padding, groups=groups,
+                             sx=_x_scale(x).astype(jnp.float32))
+            return self.apply_mask(out, mask)
+        out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                  else jnp.float32)
+        x8 = quantize_static(x, sc)
+        w8, sw = _fold_weights(w, sc)
+        acc = lax.conv_general_dilated(
+            x8, w8, (1, 1), padding, dimension_numbers=_DN,
+            preferred_element_type=out_dt)
+        return self.apply_mask(acc * sw.astype(out_dt), mask)
+
+
+class Int8StaticShardedOps(ShardedOps):
+    """Spatially-tiled static int8.
+
+    Static scales are position-independent, so no collective is needed at
+    all: each shard quantizes on the identical grid by construction, and the
+    halo rows are exchanged ALREADY QUANTIZED (1-byte ICI traffic, and the
+    neighbor's rows are bit-identical to their home-shard quantization).
+    Tiled == untiled up to a few activation LSBs: the float values feeding
+    round() carry reduction-order noise (psum'd CAC stats, conv sum order)
+    that grid-boundary rounding amplifies to single LSB flips — inherent to
+    quantizing after float collectives, and identical for Int8ShardedOps.
+    """
+
+    def __init__(self, act_scales, axis_name="sp", acc_dtype=jnp.float32,
+                 precision=None):
+        super().__init__(axis_name=axis_name, acc_dtype=acc_dtype,
+                         precision=precision)
+        self.act_scales = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()}
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        if _skip_quant(w):
+            return super().conv2d(x, w, padding=padding, mask=mask,
+                                  groups=groups)
+        kh, kw = w.shape[0], w.shape[1]
+        sc = _site_scale(self.act_scales, name, groups)
+        wpad = ((0, 0), ((kw - 1) // 2,) * 2)
+        if sc is None:
+            xh = _halo_exchange_h(x, (kh - 1) // 2, self.axis_name)
+            local = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+            g = lax.all_gather(local, self.axis_name)
+            sx = (jnp.maximum(jnp.max(g, axis=0), 1e-8) / 127.0).astype(
+                jnp.float32)
+            out = _int8_conv(xh, w, padding=wpad, groups=groups, sx=sx)
+            return self.apply_mask(out, mask)
+        out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                  else jnp.float32)
+        x8 = quantize_static(x, sc)
+        x8h = _halo_exchange_h(x8, (kh - 1) // 2, self.axis_name)
+        w8, sw = _fold_weights(w, sc)
+        acc = lax.conv_general_dilated(
+            x8h, w8, (1, 1), wpad, dimension_numbers=_DN,
+            preferred_element_type=out_dt)
+        return self.apply_mask(acc * sw.astype(out_dt), mask)
+
+
+class FakeQuantStaticOps(XlaOps):
+    """QAT backend for the static grid: frozen per-site scales, clipped STE.
+
+    Numerically simulates Int8StaticOps in float: activations fake-quantize
+    on the frozen per-channel grid (gradient zero where the static grid
+    CLIPS — unlike dynamic absmax, static scales do clip outliers, and
+    letting gradients pass through the clip teaches weights to chase
+    unrepresentable values). Weights fake-quantize on the folded grid
+    sw_o / s_c — exactly the grid Int8StaticOps deploys.
+    """
+
+    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None):
+        super().__init__(acc_dtype=acc_dtype, precision=precision)
+        self.act_scales = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()}
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        if _skip_quant(w):
+            return super().conv2d(x, w, padding=padding, mask=mask,
+                                  groups=groups)
+        sc = _site_scale(self.act_scales, name, groups)
+
+        def fq(t, s, clipped_ste):
+            q = (jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
+                 * s).astype(t.dtype)
+            ste = t + lax.stop_gradient(q - t)
+            if not clipped_ste:
+                return ste
+            inside = jnp.abs(t.astype(jnp.float32)) <= 127.0 * s
+            return jnp.where(inside, ste, lax.stop_gradient(q))
+
+        if sc is None:
+            xq = fq(x, _x_scale(x).astype(jnp.float32), False)
+            wq = fq(w, _w_scales(w)[None, None, None, :], False)
+        else:
+            xq = fq(x, sc, True)
+            # weight grid of the deployed fold: sw_o / s_c per element
+            sw = _w_scales(w.astype(jnp.float32) *
+                           sc[None, None, :, None])
+            wq = fq(w, (sw[None, None, None, :] /
+                        sc[None, None, :, None]), False)
+        out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
+                          precision=self.precision)
+        return self.apply_mask(out, mask)
+
+
+class CalibrationOps(XlaOps):
+    """Float backend that records per-input-channel absmax per conv site.
+
+    Runs inside jit: `absmax` holds traced (C,) values; return it from the
+    traced function to fetch. Padded batches are safe — zero padding never
+    raises an absmax.
+    """
+
+    def __init__(self, acc_dtype=jnp.float32, precision=None):
+        super().__init__(acc_dtype=acc_dtype, precision=precision)
+        self.absmax = {}
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        if name is not None and groups == 1 and not _skip_quant(w):
+            am = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
+            prev = self.absmax.get(name)
+            self.absmax[name] = am if prev is None else jnp.maximum(prev, am)
+        return super().conv2d(x, w, padding=padding, mask=mask,
+                              groups=groups)
+
+
+def calibrate_act_scales(forward, params, batches):
+    """Per-site per-channel static scales from full-frame forwards.
+
+    forward(params, depth, color, ops=..., mask=...) — a variant forward.
+    batches: iterable of (depth, color, mask_or_None).
+    Returns {site: (C_in,) float32 numpy} with scale = absmax / 127.
+    """
+    import numpy as np
+
+    import jax
+
+    def f(p, d, c, m):
+        ops = CalibrationOps()
+        forward(p, d, c, ops=ops, mask=m)
+        return ops.absmax
+
+    jf = jax.jit(f)
+    acc: dict = {}
+    for depth, color, m in batches:
+        am = jax.device_get(jf(params, depth, color, m))
+        for k, v in am.items():
+            acc[k] = v if k not in acc else np.maximum(acc[k], v)
+    return {k: (np.maximum(v, 1e-8) / 127.0).astype(np.float32)
+            for k, v in acc.items()}

@@ -47,12 +47,15 @@ def main():
         cfg = dc.replace(v.cfg, **kw)
         return lambda p, a, b: codon_forward(p, a, b, cfg=cfg)
 
+    from codon_tpu.models.codon_net import codon_forward_fused
+
+    def fwd_fused(**kw):
+        cfg = dc.replace(v.cfg, **kw)
+        return lambda p, a, b: codon_forward_fused(p, a, b, cfg=cfg)
+
     results = {}
     results["packed_b16"] = run("packed", fwd_cfg(), 16, H, W)
-    results["split_b16"] = run("split", fwd_cfg(cell_impl="split"), 16, H, W)
-    results["packed_b32"] = run("packed", fwd_cfg(), 32, H, W)
-    results["packed_b16_pad32"] = run("packed pad32", fwd_cfg(), 16, 384, 480)
-    results["packed_b8"] = run("packed", fwd_cfg(), 8, H, W)
+    results["packed_b16_pad"] = run("packed pad8", fwd_cfg(), 16, 376, 464)
 
     from codon_tpu.quant_ops import Int8Ops
 

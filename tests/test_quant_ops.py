@@ -89,3 +89,112 @@ def test_qat_step_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# static per-channel scales
+# ---------------------------------------------------------------------------
+
+def _calibrated(v, params, batches):
+    from codon_tpu.quant_ops import calibrate_act_scales
+    return calibrate_act_scales(
+        lambda p, d, c, ops, mask: v.forward(p, d, c, ops=ops, mask=mask),
+        params, batches)
+
+
+def test_calibration_collects_all_sites():
+    """Every quantizable conv site in the packed forward gets a per-channel
+    scale vector sized to its input width."""
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(0))
+    d, c = _data(0, B=2)
+    scales = _calibrated(v, params, [(d, c, None)])
+    expect = {"conv_input": 64, "conv_input_c": 64, "packed_d": 64,
+              "packed_c": 64, "packed_f": 64, "conv3": 128, "conv6": 128,
+              "conv10": 128, "confuse": 128, "confuse_c": 128,
+              "confuse_fuse": 128, "conv7": 128, "conv11": 64}
+    assert set(scales) == set(expect), sorted(scales)
+    for k, n in expect.items():
+        assert scales[k].shape == (n,), (k, scales[k].shape)
+        assert (scales[k] > 0).all()
+
+
+def test_static_conv_exact_fold():
+    """The per-channel fold is exact: a static int8 conv whose scales are
+    the input's true per-channel absmax matches the fake-quant float conv
+    on that same grid."""
+    from codon_tpu.quant_ops import FakeQuantStaticOps, Int8StaticOps
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 13, 11, 64).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 64, 64) * 0.1).astype(np.float32))
+    sc = np.abs(np.asarray(x)).max(axis=(0, 1, 2)) / 127.0
+    scales = {"site": sc}
+    a = np.asarray(FakeQuantStaticOps(scales).conv2d(x, w, name="site"))
+    b = np.asarray(Int8StaticOps(scales).conv2d(x, w, name="site"))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_static_model_close_to_float():
+    """Calibrated static int8 stays in the same accuracy class as dynamic
+    int8 on an untrained net (QAT closes the rest)."""
+    from codon_tpu.quant_ops import Int8StaticOps
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(1)))
+    d, c = _data(1)
+    scales = _calibrated(v, params, [(d, c, None)])
+    f = np.asarray(v.forward(params, d, c))
+    q = np.asarray(v.forward(params, d, c, ops=Int8StaticOps(scales)))
+    rel = np.abs(q - f).mean() / (np.abs(f).mean() + 1e-8)
+    assert rel < 0.25, rel
+
+
+def test_static_tiled_matches_untiled():
+    """Int8StaticShardedOps: static scales are position-independent, so
+    tiled == untiled with zero collectives (int8 halo exchange).
+
+    Tolerance note: every shard quantizes on the identical grid, but the
+    FLOAT values feeding round() differ between the tiled and untiled
+    programs by reduction-order noise (~1e-7: psum'd CAC stats, conv sum
+    order), and round() turns any such diff at a grid boundary into a full
+    int8 LSB flip. Equality is therefore up to a few activation LSBs
+    (the dynamic tiled test above has the same property and merely sits
+    under its tolerance by seed luck)."""
+    from codon_tpu.parallel.tiling import make_tiled_forward
+    from codon_tpu.quant_ops import Int8StaticOps, Int8StaticShardedOps
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(4)))
+    d, c = _data(5, B=2, H=48, W=17)
+    mask = jnp.ones_like(d)
+    scales = _calibrated(v, params, [(d, c, mask)])
+    ref = np.asarray(v.forward(params, d, c, mask=mask,
+                               ops=Int8StaticOps(scales)))
+
+    def factory(axis_name, **kw):
+        return Int8StaticShardedOps(scales, axis_name=axis_name, **kw)
+
+    fwd = make_tiled_forward(v, 4, 1, ops_factory=factory)
+    out = np.asarray(fwd(params, d, c, mask))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_qat_static_step_trains():
+    """Weights keep training on the frozen static grid (clipped STE)."""
+    from codon_tpu.quant_ops import FakeQuantStaticOps
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    batch = {k: rng.rand(2, 16, 16, 1).astype(np.float32)
+             for k in ("depth", "color", "label")}
+    batch["mask"] = np.ones((2, 16, 16, 1), np.float32)
+    scales = _calibrated(v, params,
+                         [(batch["depth"], batch["color"], batch["mask"])])
+    step, tx = make_train_step(v, TrainConfig(learning_rate=1e-3),
+                               donate=False,
+                               ops=FakeQuantStaticOps(scales))
+    opt = tx.init(params)
+    losses = []
+    for _ in range(6):
+        params, opt, m = step(params, opt, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

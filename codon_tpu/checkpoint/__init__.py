@@ -4,3 +4,8 @@ from codon_tpu.checkpoint.torch_convert import (
     load_pth,
 )
 from codon_tpu.checkpoint.native import save_npz, load_npz
+from codon_tpu.checkpoint.orbax_io import (
+    CheckpointManager,
+    save_orbax,
+    load_orbax,
+)

@@ -98,6 +98,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="patch augmentation: full = flips+rot90+photometric"
                         " guidance jitter+depth affine (generalization "
                         "recipe); flips = geometric only")
+    t.add_argument("--orbax-dir", default=None,
+                   help="production checkpointing: async orbax saves of "
+                        "{params, opt_state, step} every --save-every "
+                        "steps into this directory (keep-last-3, atomic), "
+                        "resuming from the latest step if one exists")
+    t.add_argument("--save-every", type=int, default=500)
     t.add_argument("--qat-static", action="store_true",
                    help="QAT on FROZEN per-channel static activation "
                         "scales: calibrates scales on full frames first, "
@@ -427,15 +433,47 @@ def cmd_train(args) -> int:
                            patch=args.patch, batch=args.batch,
                            seed=args.seed, augment=args.augment,
                            degraded=degraded if use_real else None)
+
+    mgr = None
+    start_step = 0
+    if getattr(args, "orbax_dir", None):
+        from codon_tpu.checkpoint import CheckpointManager
+        from codon_tpu.checkpoint.orbax_io import device_tree
+        mgr = CheckpointManager(args.orbax_dir, max_to_keep=3)
+        latest = mgr.latest_step()
+        if latest is not None:
+            import numpy as _np
+            # `like` restores straight into the live structures (optax
+            # NamedTuples included) instead of generic nested dicts
+            tree = mgr.restore(latest, like={
+                "params": params, "opt_state": opt_state,
+                "step": _np.zeros((), _np.int64)})
+            params = device_tree(tree["params"])
+            opt_state = device_tree(tree["opt_state"])
+            start_step = int(tree["step"])
+            print(f"orbax: resumed step {start_step} from {args.orbax_dir} "
+                  f"(note: the patch sampler stream restarts)")
+        else:
+            print(f"orbax: async checkpoints -> {args.orbax_dir} "
+                  f"every {args.save_every} steps (keep-last-3)")
+
     t0 = time.time()
-    for i in range(1, args.steps + 1):
+    for i in range(start_step + 1, args.steps + 1):
         params, opt_state, m = step(params, opt_state, sampler.sample())
         if i % args.log_every == 0 or i == 1:
             loss = float(m["loss"])  # D2H sync point
-            rate = i * args.batch / (time.time() - t0)
+            rate = (i - start_step) * args.batch / (time.time() - t0)
             print(f"step {i:6d}  loss {loss:.5f}  "
                   f"grad_norm {float(m['grad_norm']):.3f}  "
                   f"{rate:.0f} patches/s")
+        if mgr is not None and (i % args.save_every == 0
+                                or i == args.steps):
+            # async: training continues while the tree serializes
+            import numpy as _np
+            mgr.save(i, {"params": params, "opt_state": opt_state,
+                         "step": _np.asarray(i, _np.int64)})
+    if mgr is not None:
+        mgr.close()
     if getattr(args, "qat_static", False) and act_scales is not None:
         # ship the frozen grid with the weights: eval --dtype int8 detects
         # act_scales and runs Int8StaticOps (no dynamic reductions)

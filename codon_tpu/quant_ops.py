@@ -1,13 +1,20 @@
 """Quantization Ops backends: QAT fake-quant and real int8 inference.
 
-PTQ with static calibration was measured insufficient for this workload
-(x4 RMSE 1.66 -> 9.1: heavy-tailed activations compound over the 5
-recurrent stages; percentile clipping is worse — depth edges ARE the
-outliers). Frozen-scale QAT (two calibrate+retune iterations) recovered
-only RMSE 3.50: per-tensor static scales stay too coarse for this net's
-activation spread, and the CAC global pools see patches during training vs
-full frames at eval. Dynamic scales win on quality; the engineering problem
-is making them cheap (see Int8Ops notes below). Backends:
+Scale-granularity history (each step measured on this workload):
+  * per-tensor static PTQ: x4 RMSE 1.66 -> 9.1 (heavy-tailed activations
+    compound over the 5 recurrent stages; percentile clipping worse —
+    depth edges ARE the outliers).
+  * per-tensor static + frozen-scale QAT: floor at RMSE 3.50.
+  * per-sample DYNAMIC + QAT: RMSE 1.75 — quality solved, but the absmax
+    reduction + quantize round-trip per conv eat the whole int8 MXU gain
+    (52.8 img/s vs 52.7 bf16 at 463x370/b16 on v5e).
+  * per-INPUT-CHANNEL STATIC + QAT (the shipping path): RMSE parity AND
+    the full MXU gain — 81.7 img/s at b32 vs 52.7 bf16. Per-channel
+    scales fold exactly into the weights (see Int8StaticOps), so
+    quantization is a reduction-free elementwise op that XLA fuses into
+    the producer's epilogue and activations cross HBM at 1 byte.
+
+Backends:
 
   FakeQuantOps   training backend — every conv sees int8-rounded weights
                  (per-output-channel scales) and activations (PER-SAMPLE,
@@ -21,6 +28,8 @@ is making them cheap (see Int8Ops notes below). Backends:
                  halo-exchange convs + all-reduced per-sample absmax so
                  every shard quantizes with the SAME scale — tiled int8
                  is exact w.r.t. untiled int8.
+  Int8StaticOps / Int8StaticShardedOps / FakeQuantStaticOps /
+  CalibrationOps — the static per-channel family (see section below).
 
 Activation scales are PER SAMPLE (absmax over each batch element's H,W,C),
 not per tensor: a padded mixed-size batch therefore computes exactly what

@@ -164,3 +164,52 @@ def test_eval_zoo_variant(tmp_path):
                    "zoo:rmcr_fuse_rmcr"])
     assert rc == 0
     assert len(os.listdir(out)) == 2
+
+
+def test_train_qat_static_ships_scales(tmp_path):
+    """train --qat-static calibrates, fine-tunes, and embeds act_scales;
+    eval --dtype int8 picks the static backend up from the checkpoint."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "qs.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "3", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32", "--qat-static"])
+    assert rc == 0
+    import numpy as np
+    keys = np.load(ck).files
+    assert any(k.startswith("act_scales/") for k in keys), keys
+    out = str(tmp_path / "out_qs")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--ckpt", ck,
+                   "--no-save", "--batch", "2", "--dtype", "int8",
+                   "--out", out, "--pad-multiple", "8"])
+    assert rc == 0
+
+
+def test_train_orbax_resume(tmp_path):
+    """--orbax-dir: async step saves; a rerun resumes from the latest step
+    instead of restarting (crash-recovery semantics)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "o.npz")
+    odir = str(tmp_path / "orbax_run")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "4", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32",
+                   "--orbax-dir", odir, "--save-every", "2"])
+    assert rc == 0
+    from codon_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(odir)
+    assert mgr.latest_step() == 4
+    mgr.close()
+    # rerun with more steps: resumes at 4, runs 5..6 only
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "6", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32",
+                   "--orbax-dir", odir, "--save-every", "2"])
+    assert rc == 0
+    mgr = CheckpointManager(odir)
+    assert mgr.latest_step() == 6
+    tree = mgr.restore()
+    assert int(tree["step"]) == 6
+    mgr.close()

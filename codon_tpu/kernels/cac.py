@@ -1,9 +1,25 @@
 """Pallas TPU kernels for the CAC cross-domain attention stage.
 
-This is the framework's native tier (the reference leaned on cuDNN for these
-ops — /root/reference/CODON_X4/CAC_module.py). XLA runs the stage in ~7ms
-(b8@463x370): the 1-2 channel pooled maps and broadcast gating thrash
-layouts. Three fused kernels pin it near memory speed-of-light:
+Status (round 2, measured): CORRECT BUT NOT DEPLOYED — XLA wins on this
+platform, and we know exactly why. Isolated CAC-stage shootout at
+b32/463x370/bf16 on v5e (scripts/perf_cac.py): XLA stencil lowering
+15.8 ms, XLA 2ch-conv 16.7 ms, these kernels 41.9 ms (stats 15.3 +
+logits 2.0 + apply 33.7). A layout probe (scripts/perf_pallas_probe.py)
+pins the cause below the kernel code: a PURE PALLAS COPY of the same
+tensor moves ~110 GB/s with (1,64,W,64) blocks (best observed layout,
+flat (1,8,W*C): ~180) while a plain XLA elementwise pass moves ~360 GB/s
+— the Pallas DMA path on this stack runs 2-3x under XLA's, so no amount
+of in-kernel cleverness closes a gap that exists for memory-bound ops.
+The native-tier effort that DID land is the static per-channel int8
+design (quant_ops.py): quantization became a reduction-free elementwise
+epilogue XLA fuses for free — 81.8 img/s vs 52.7 bf16, on by default in
+shipping checkpoints. These kernels stay as the opt-in
+(`cac_impl="pallas"`), fully tested reference implementation, and the
+measurement harnesses stay in scripts/ for re-evaluation on stacks where
+Pallas DMA reaches HBM speed.
+
+Original design rationale (the reference leaned on cuDNN for these ops —
+/root/reference/CODON_X4/CAC_module.py). Three fused kernels:
 
   cac_stats      one pass over both towers -> global channel sum+max (for
                  the channel-gate MLP) AND the channel-pooled max/mean maps

@@ -268,10 +268,11 @@ def cac_spatial_gate(x, sp_w, ops: Ops, mask=None, impl: str = "conv"):
 def _use_pallas_cac(cfg: CodonConfig, ops) -> bool:
     """Pallas CAC only on the plain single-device ops path on TPU.
 
-    "auto" currently resolves to the XLA path: the fused kernels are
-    correct (tests/test_kernels.py) but measured ~25% slower end-to-end
-    than XLA's fusion of the same stage on v5e (layout padding of C=64
-    blocks + per-grid-step overheads); opt in with cac_impl="pallas".
+    "auto" resolves to the XLA path: the fused kernels are correct
+    (tests/test_kernels.py) but the platform's Pallas DMA path moves
+    ~110-180 GB/s where XLA elementwise moves ~360 (probe data + isolated
+    stage shootout in kernels/cac.py docstring), so the memory-bound CAC
+    stage cannot win there; opt in with cac_impl="pallas".
     """
     if cfg.cac_impl == "xla" or not isinstance(ops, XlaOps):
         return False

@@ -213,3 +213,31 @@ def test_train_orbax_resume(tmp_path):
     tree = mgr.restore()
     assert int(tree["step"]) == 6
     mgr.close()
+
+
+def test_eval_int8_static_tiled(tmp_path):
+    """A qat-static checkpoint evaluated with --dtype int8 under a dp x sp
+    mesh runs the STATIC sharded backend and agrees with the untiled
+    static run (same frozen grid on every shard)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data, n=3, hw=(40, 33))
+    ck = str(tmp_path / "qs.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "2", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32", "--qat-static"])
+    assert rc == 0
+    ju, jt = str(tmp_path / "u.json"), str(tmp_path / "t.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", ju, "--dtype", "int8",
+                   "--pad-multiple", "8", "--ckpt", ck,
+                   "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", jt, "--dtype", "int8",
+                   "--pad-multiple", "8", "--ckpt", ck, "--dp-devices", "2",
+                   "--tile-devices", "2", "--out", str(tmp_path / "o2")])
+    assert rc == 0
+    mu, mt = json.load(open(ju)), json.load(open(jt))
+    # static grid is identical on every shard; residual diffs are the
+    # reduction-order LSB flips quantified in test_quant_ops
+    assert abs(mu["mean_rmse"] - mt["mean_rmse"]) < 0.5, (mu, mt)

@@ -64,6 +64,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace into this directory")
     e.add_argument("--check-nans", action="store_true",
                    help="enable jax debug_nans (fail fast on NaN/inf)")
+    e.add_argument("--tta", action="store_true",
+                   help="geometric self-ensemble: average the forward over "
+                        "the 4 flip transforms (id/H/V/HV), inverse-mapped "
+                        "— 4x compute for a standard SR quality bump; "
+                        "flips only (no rot90) so padded mixed-size "
+                        "batches and masks stay valid")
     e.add_argument("--device-metrics", action="store_true",
                    help="compute RMSE/SSIM on device inside the forward jit "
                         "(scalars are the only D2H traffic; RMSE exact, "
@@ -241,6 +247,24 @@ def cmd_eval(args) -> int:
         # (clip(out,0,1)*255).astype(uint8) truncation (CODON_X4/test.py:130)
         import jax.numpy as jnp
 
+        if getattr(args, "tta", False):
+            base_fwd = raw_fwd
+
+            def raw_fwd(p, d, c, m):
+                # geometric self-ensemble over the 4 flips; masks flip
+                # with the content so padded batches stay exact
+                acc = None
+                for fh in (False, True):
+                    for fv in (False, True):
+                        ax = ([1] if fv else []) + ([2] if fh else [])
+                        fl = ((lambda t: jnp.flip(t, ax)) if ax
+                              else (lambda t: t))
+                        o = fl(base_fwd(p, fl(d), fl(c),
+                                        None if m is None else fl(m)))
+                        acc = o if acc is None else acc + o
+                return acc / 4.0
+            print("tta: 4-flip geometric self-ensemble")
+
         @jax.jit
         def fwd_u8(p, d, c, m):
             out = raw_fwd(p, d, c, m)
@@ -253,6 +277,10 @@ def cmd_eval(args) -> int:
 
         evaluator = None
         if getattr(args, "device_metrics", False):
+            if getattr(args, "tta", False):
+                print("WARNING: --device-metrics bypasses --tta "
+                      "(on-device evaluator runs the plain forward); "
+                      "drop one of the flags")
             from codon_tpu.metrics.ondevice import make_batch_evaluator
             evaluator = make_batch_evaluator(variant)
 

@@ -241,3 +241,24 @@ def test_eval_int8_static_tiled(tmp_path):
     # static grid is identical on every shard; residual diffs are the
     # reduction-order LSB flips quantified in test_quant_ops
     assert abs(mu["mean_rmse"] - mt["mean_rmse"]) < 0.5, (mu, mt)
+
+
+def test_eval_tta(tmp_path):
+    """--tta: 4-flip self-ensemble runs end-to-end and stays in the same
+    accuracy class as the plain forward (exact equality is not expected —
+    the ensemble is a different estimator)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    j1, j2 = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", j1, "--dtype", "fp32",
+                   "--pad-multiple", "8", "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", j2, "--dtype", "fp32",
+                   "--pad-multiple", "8", "--tta",
+                   "--out", str(tmp_path / "o2")])
+    assert rc == 0
+    m1, m2 = json.load(open(j1)), json.load(open(j2))
+    assert m2["mean_rmse"] > 0
+    assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 2.0, (m1, m2)

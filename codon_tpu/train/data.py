@@ -41,21 +41,48 @@ class PatchSampler:
     batch: int = 16
     seed: int = 0
     # "full": flips + rot90 + photometric jitter on the guidance +
-    #         joint depth/label affine (range-preserving) — the
-    #         generalization recipe for tiny training sets;
+    #         joint depth/label affine (range-preserving) + multi-scale
+    #         pyramid sampling — the generalization recipe for tiny
+    #         training sets;
     # "flips": geometric flips only (the round-1 recipe); "none"/False: off
     augment: str = "full"
     degraded: List[np.ndarray] = None
+    # multi-scale pyramid (augment="full" only): each source image is also
+    # kept at these downscaled sizes, with the degradation RE-SYNTHESIZED
+    # from the downscaled label so input/label stay self-consistent —
+    # effectively new scenes with different structure densities. 1.0 uses
+    # the shipped degradation when available.
+    pyramid: tuple = (1.0, 0.8, 0.65)
 
     def __post_init__(self):
+        import cv2
         assert len(self.labels) == len(self.colors)
         self._rng = np.random.RandomState(self.seed)
         if self.degraded is not None:
             assert len(self.degraded) == len(self.labels)
-            self._degraded = self.degraded
+            base_degraded = self.degraded
         else:
-            self._degraded = [synthesize_lr(l, self.scale)
-                              for l in self.labels]
+            base_degraded = [synthesize_lr(l, self.scale)
+                             for l in self.labels]
+        # levels[k] = (labels, colors, degraded) at pyramid scale k
+        self._levels = [(self.labels, self.colors, base_degraded)]
+        scales = (self.pyramid if self.augment == "full" else (1.0,))
+        for s in scales:
+            if s >= 1.0:
+                continue
+            labs, cols, degs = [], [], []
+            for lab, col in zip(self.labels, self.colors):
+                h, w = lab.shape
+                nh, nw = max(self.patch, int(h * s)), max(self.patch,
+                                                          int(w * s))
+                lab_s = cv2.resize(lab, (nw, nh),
+                                   interpolation=cv2.INTER_AREA)
+                col_s = cv2.resize(col, (nw, nh),
+                                   interpolation=cv2.INTER_AREA)
+                labs.append(lab_s)
+                cols.append(col_s)
+                degs.append(synthesize_lr(lab_s, self.scale))
+            self._levels.append((labs, cols, degs))
 
     def __iter__(self) -> Iterator[dict]:
         while True:
@@ -68,7 +95,8 @@ class PatchSampler:
         label = np.empty((B, P, P, 1), np.float32)
         for b in range(B):
             i = self._rng.randint(len(self.labels))
-            lab, col, deg = self.labels[i], self.colors[i], self._degraded[i]
+            lv = self._levels[self._rng.randint(len(self._levels))]
+            lab, col, deg = lv[0][i], lv[1][i], lv[2][i]
             h, w = lab.shape
             y = self._rng.randint(max(1, h - P + 1))
             x = self._rng.randint(max(1, w - P + 1))

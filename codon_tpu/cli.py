@@ -88,6 +88,9 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--warmup", type=int, default=0,
                    help=">0: warmup+cosine schedule over --steps")
     t.add_argument("--loss", choices=("l1", "l2"), default="l1")
+    t.add_argument("--weight-decay", type=float, default=0.0,
+                   help="decoupled weight decay (regularizer for tiny "
+                        "training sets, e.g. holdout runs)")
     t.add_argument("--dtype", choices=("bf16", "fp32", "fp16"),
                    default="bf16")
     t.add_argument("--seed", type=int, default=0)
@@ -454,6 +457,8 @@ def cmd_train(args) -> int:
     step, tx = make_train_step(
         variant, TrainConfig(learning_rate=args.lr, loss=args.loss,
                              warmup_steps=args.warmup,
+                             weight_decay=getattr(args, "weight_decay",
+                                                  0.0),
                              total_steps=args.steps), ops=qat_ops)
     opt_state = tx.init(params)
 

@@ -48,8 +48,6 @@ def make_optimizer(cfg: TrainConfig):
     parts = []
     if cfg.clip_norm:
         parts.append(optax.clip_by_global_norm(cfg.clip_norm))
-    if cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(cfg.weight_decay))
     if cfg.warmup_steps > 0 and cfg.total_steps > 0:
         sched = optax.warmup_cosine_decay_schedule(
             init_value=cfg.learning_rate * 0.01,
@@ -60,6 +58,9 @@ def make_optimizer(cfg: TrainConfig):
         parts.append(optax.adam(sched))
     else:
         parts.append(optax.adam(cfg.learning_rate))
+    if cfg.weight_decay:
+        # AFTER adam: decoupled (AdamW-style) decay, not L2-into-gradient
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
     return optax.chain(*parts)
 
 

@@ -251,21 +251,8 @@ def cmd_eval(args) -> int:
         import jax.numpy as jnp
 
         if getattr(args, "tta", False):
-            base_fwd = raw_fwd
-
-            def raw_fwd(p, d, c, m):
-                # geometric self-ensemble over the 4 flips; masks flip
-                # with the content so padded batches stay exact
-                acc = None
-                for fh in (False, True):
-                    for fv in (False, True):
-                        ax = ([1] if fv else []) + ([2] if fh else [])
-                        fl = ((lambda t: jnp.flip(t, ax)) if ax
-                              else (lambda t: t))
-                        o = fl(base_fwd(p, fl(d), fl(c),
-                                        None if m is None else fl(m)))
-                        acc = o if acc is None else acc + o
-                return acc / 4.0
+            from codon_tpu.models.tta import make_tta_forward
+            raw_fwd = make_tta_forward(raw_fwd)
             print("tta: 4-flip geometric self-ensemble")
 
         @jax.jit

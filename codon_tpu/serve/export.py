@@ -1,0 +1,71 @@
+"""AOT model export for serving: jax.export StableHLO artifacts.
+
+A deployment artifact the reference never had: the jitted forward
+(weights baked in, any Ops backend — bf16 or static-int8) serialized as
+platform-checked StableHLO with a POLYMORPHIC batch dimension, loadable
+in a serving process with no model code, no checkpoint loading, and no
+Python-side retracing:
+
+    # build side
+    export_forward(variant, params, (370, 463), "model.codonx")
+    # serving side
+    fn = load_exported("model.codonx")
+    out = fn(depth_b, color_b)         # any batch size
+
+H and W are fixed per artifact (conv lowering stays fully static —
+export one artifact per supported resolution; the eval pipeline pads to
+a small set of bucket shapes already). The artifact records the lowering
+platform (cpu/tpu) and jax.export refuses cross-platform execution.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def export_forward(variant, params, hw: Tuple[int, int], path: str,
+                   ops=None, mask: bool = False) -> int:
+    """Serialize the forward to `path`. Returns the artifact size in bytes.
+
+    hw: (H, W) of the (padded) input resolution.
+    ops: optional Ops backend baked into the artifact (e.g. Int8StaticOps
+         with its scales — the full static-int8 path exports cleanly, it
+         is pure XLA ops).
+    mask: also take a validity-mask input (padded-batch serving).
+    """
+    import jax
+    import jax.export
+    import jax.numpy as jnp
+
+    h, w = hw
+    b = jax.export.symbolic_shape("b")[0]
+    img = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
+
+    if mask:
+        def fwd(depth, color, m):
+            return variant.forward(params, depth, color, mask=m, ops=ops)
+        args = (img, img, img)
+    else:
+        def fwd(depth, color):
+            return variant.forward(params, depth, color, ops=ops)
+        args = (img, img)
+
+    exp = jax.export.export(jax.jit(fwd))(*args)
+    data = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str):
+    """Load an artifact; returns fn(depth, color[, mask]) -> (B,H,W,1)."""
+    import jax.export
+
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(f.read())
+
+    def fn(*args):
+        return exp.call(*[np.asarray(a, np.float32) for a in args])
+
+    return fn

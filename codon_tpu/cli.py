@@ -133,6 +133,21 @@ def _build_argparser() -> argparse.ArgumentParser:
     c.add_argument("--no-dead-heads", action="store_true",
                    help="X16-style checkpoints without attention_{c5,s5}")
 
+    x = sub.add_parser("export",
+                       help="AOT-export the forward (weights baked in) as "
+                            "a StableHLO serving artifact, batch-"
+                            "polymorphic; platform = current backend")
+    x.add_argument("--ckpt", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--variant", default="codon")
+    x.add_argument("--height", type=int, default=370)
+    x.add_argument("--width", type=int, default=463)
+    x.add_argument("--dtype", choices=("bf16", "fp32", "int8"),
+                   default="bf16")
+    x.add_argument("--mask", action="store_true",
+                   help="artifact takes a validity-mask input "
+                        "(padded-batch serving)")
+
     i = sub.add_parser("info", help="model + device summary")
     i.add_argument("--variant", default="codon")
     return p
@@ -537,6 +552,37 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from codon_tpu.checkpoint import load_npz
+    from codon_tpu.core.params import BF16, FP32
+    from codon_tpu.models.variants import get_variant
+    from codon_tpu.serve import export_forward
+
+    dtypes = {"bf16": BF16, "fp32": FP32, "int8": BF16}[args.dtype]
+    variant = get_variant(args.variant, dtypes=dtypes)
+    params = load_npz(args.ckpt)
+    act_scales = (params.pop("act_scales", None)
+                  if isinstance(params, dict) else None)
+    ops = None
+    if args.dtype == "int8":
+        if act_scales is not None:
+            from codon_tpu.quant_ops import Int8StaticOps
+            ops = Int8StaticOps(act_scales)
+            print(f"int8: static scales from checkpoint "
+                  f"({len(act_scales)} sites) baked into the artifact")
+        else:
+            from codon_tpu.quant_ops import Int8Ops
+            ops = Int8Ops()
+            print("int8: dynamic per-sample scales")
+    n = export_forward(variant, params, (args.height, args.width),
+                       args.out, ops=ops, mask=args.mask)
+    import jax
+    print(f"exported {args.variant} {args.width}x{args.height} "
+          f"[{args.dtype}] for platform '{jax.default_backend()}' "
+          f"-> {args.out} ({n / 1e6:.1f} MB)")
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
     from codon_tpu.core.params import param_count
@@ -555,7 +601,8 @@ def main(argv=None) -> int:
     enable_persistent_cache()
     args = _build_argparser().parse_args(argv)
     return {"eval": cmd_eval, "train": cmd_train, "golden": cmd_golden,
-            "convert": cmd_convert, "info": cmd_info}[args.cmd](args)
+            "convert": cmd_convert, "info": cmd_info,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

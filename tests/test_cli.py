@@ -262,3 +262,23 @@ def test_eval_tta(tmp_path):
     m1, m2 = json.load(open(j1)), json.load(open(j2))
     assert m2["mean_rmse"] > 0
     assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 2.0, (m1, m2)
+
+
+def test_export_cli(tmp_path):
+    """cli export: checkpoint -> serving artifact -> runs standalone."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "t.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "2", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    art = str(tmp_path / "m.codonx")
+    rc = cli.main(["export", "--ckpt", ck, "--out", art, "--height", "24",
+                   "--width", "20", "--dtype", "fp32"])
+    assert rc == 0
+    from codon_tpu.serve import load_exported
+    fn = load_exported(art)
+    d = np.zeros((2, 24, 20, 1), np.float32)
+    out = np.asarray(fn(d, d))
+    assert out.shape == (2, 24, 20, 1)

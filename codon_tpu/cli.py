@@ -467,7 +467,8 @@ def cmd_train(args) -> int:
     sampler = PatchSampler(labels, colors, scale=args.scale,
                            patch=args.patch, batch=args.batch,
                            seed=args.seed, augment=args.augment,
-                           degraded=degraded if use_real else None)
+                           degraded=degraded if use_real else None
+                           ).prefetch(2)
 
     mgr = None
     start_step = 0
@@ -507,6 +508,7 @@ def cmd_train(args) -> int:
             import numpy as _np
             mgr.save(i, {"params": params, "opt_state": opt_state,
                          "step": _np.asarray(i, _np.int64)})
+    sampler.close()
     if mgr is not None:
         mgr.close()
     if getattr(args, "qat_static", False) and act_scales is not None:

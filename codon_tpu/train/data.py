@@ -88,6 +88,12 @@ class PatchSampler:
         while True:
             yield self.sample()
 
+    def prefetch(self, depth: int = 2) -> "PrefetchSampler":
+        """Background-thread sampling: overlaps host-side patch assembly
+        (the measured train-loop bottleneck on a 1-core host) with device
+        compute. `depth` batches are staged ahead."""
+        return PrefetchSampler(self, depth)
+
     def sample(self) -> dict:
         B, P = self.batch, self.patch
         depth = np.empty((B, P, P, 1), np.float32)
@@ -132,3 +138,37 @@ class PatchSampler:
             label[b, ..., 0] = lp
         return {"depth": depth, "color": color, "label": label,
                 "mask": np.ones((B, P, P, 1), np.float32)}
+
+
+class PrefetchSampler:
+    """Thread-backed sampler: .sample() pops a pre-assembled batch."""
+
+    def __init__(self, sampler: PatchSampler, depth: int = 2):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                b = sampler.sample()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(b, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def sample(self) -> dict:
+        return self._q.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

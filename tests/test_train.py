@@ -54,3 +54,20 @@ def test_sharded_step_matches_single():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_prefetch_sampler_delivers_batches():
+    import numpy as np
+    from codon_tpu.train.data import PatchSampler
+    rng = np.random.RandomState(0)
+    labs = [(rng.rand(60, 50) * 255).astype(np.uint8) for _ in range(2)]
+    cols = [(rng.rand(60, 50) * 255).astype(np.uint8) for _ in range(2)]
+    s = PatchSampler(labs, cols, scale=4, patch=16, batch=4,
+                     augment="full").prefetch(2)
+    try:
+        for _ in range(5):
+            b = s.sample()
+            assert b["depth"].shape == (4, 16, 16, 1)
+            assert np.isfinite(b["label"]).all()
+    finally:
+        s.close()

@@ -41,12 +41,13 @@ def main() -> None:
     variant = get_variant(VARIANT, dtypes=BF16)
     rng = np.random.RandomState(0)
 
+    act_scales = None
     if os.path.exists(QAT_CKPT):
         # the shipping config: QAT'd weights + their calibrated scales
         from codon_tpu.checkpoint import load_npz
         params = load_npz(QAT_CKPT)
-        act_scales = params.pop("act_scales")
-    else:
+        act_scales = params.pop("act_scales", None)
+    if act_scales is None:
         params = variant.init(jax.random.PRNGKey(0))
         d2 = rng.rand(2, H, W, 1).astype(np.float32)
         c2 = rng.rand(2, H, W, 1).astype(np.float32)

@@ -49,10 +49,12 @@ class PatchSampler:
     degraded: List[np.ndarray] = None
     # multi-scale pyramid (augment="full" only): each source image is also
     # kept at these downscaled sizes, with the degradation RE-SYNTHESIZED
-    # from the downscaled label so input/label stay self-consistent —
-    # effectively new scenes with different structure densities. 1.0 uses
-    # the shipped degradation when available.
-    pyramid: tuple = (1.0, 0.8, 0.65)
+    # from the downscaled label so input/label stay self-consistent.
+    # OPT-IN (default off): measured on the x4 holdout task it REGRESSED
+    # generalization (TTA mean 1.707 -> 1.866; the re-synthesized bicubic
+    # degradation differs from the shipped input_depth degradation, so a
+    # third of training pairs see a mismatched input distribution).
+    pyramid: tuple = ()
 
     def __post_init__(self):
         import cv2

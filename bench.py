@@ -55,7 +55,8 @@ def main() -> None:
             lambda p, d, c, ops, mask: variant.forward(p, d, c, ops=ops,
                                                        mask=mask),
             params, [(d2, c2, None)])
-    ops = Int8StaticOps(act_scales)
+    import jax.numpy as jnp
+    ops = Int8StaticOps(act_scales, compute_dtype=jnp.bfloat16)
 
     depth = jax.device_put(rng.rand(BATCH, H, W, 1).astype(np.float32))
     color = jax.device_put(rng.rand(BATCH, H, W, 1).astype(np.float32))

@@ -203,7 +203,9 @@ def cmd_eval(args) -> int:
         if args.dtype == "int8":
             if act_scales is not None:
                 from codon_tpu.quant_ops import Int8StaticOps
-                eval_ops = Int8StaticOps(act_scales)
+                eval_ops = Int8StaticOps(
+                    act_scales,
+                    compute_dtype=variant.cfg.dtypes.compute_dtype)
                 print(f"int8: static per-channel scales from checkpoint "
                       f"({len(act_scales)} conv sites)")
             else:
@@ -244,9 +246,12 @@ def cmd_eval(args) -> int:
                 if act_scales is not None:
                     from codon_tpu.quant_ops import Int8StaticShardedOps
 
+                    cdt = variant.cfg.dtypes.compute_dtype
+
                     def ops_factory(axis_name, **kw):
                         return Int8StaticShardedOps(act_scales,
                                                     axis_name=axis_name,
+                                                    compute_dtype=cdt,
                                                     **kw)
                 else:
                     from codon_tpu.quant_ops import Int8ShardedOps
@@ -569,7 +574,9 @@ def cmd_export(args) -> int:
     if args.dtype == "int8":
         if act_scales is not None:
             from codon_tpu.quant_ops import Int8StaticOps
-            ops = Int8StaticOps(act_scales)
+            ops = Int8StaticOps(
+                act_scales,
+                compute_dtype=variant.cfg.dtypes.compute_dtype)
             print(f"int8: static scales from checkpoint "
                   f"({len(act_scales)} sites) baked into the artifact")
         else:

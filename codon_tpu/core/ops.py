@@ -75,6 +75,17 @@ class Ops:
     def apply_mask(self, x, mask=None):
         return x if mask is None else x * mask.astype(x.dtype)
 
+    def precommit(self, x, name=None):
+        """Commit a stage-boundary tensor whose ONLY consumer is the conv
+        site `name`. Float backends: identity. Quantized backends may
+        return the tensor ALREADY in its storage format (int8 on the
+        consuming conv's grid) so the float intermediate is never
+        materialized to HBM — the model calls this on loop-carried
+        activations (quantize-at-produce == quantize-at-use bitwise:
+        identical scale, identical float input)."""
+        del name
+        return x
+
 
 class XlaOps(Ops):
     """Single-device / data-parallel backend: let XLA do everything.

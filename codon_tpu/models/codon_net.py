@@ -398,10 +398,28 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
             cac if cfg.use_cac else jnp.zeros((cfg.num_mc,)),
             length=cfg.num_mc)
     else:
+        # stage-boundary precommit (packed+unrolled only): the carried
+        # tensors' ONLY consumer is the next stage's packed conv, so
+        # quantized backends hand them over already in int8. Bitwise-
+        # identical results (same scale as quantize-at-use); the LAST
+        # iteration stays float (its consumer is conv7/conv11, a
+        # different site). Skipped under scan (carry dtype must be
+        # uniform) and in split mode (conv1/conv2 share the input with
+        # separate scales). Measured perf-NEUTRAL on v5e (XLA already
+        # fuses apply+quantize and elides the float intermediate); kept
+        # as the explicit storage-format contract so the int8 handoff is
+        # structural rather than an optimizer outcome.
+        pc = (ops.precommit if packed
+              else (lambda t, s=None, *, name=None: t))
+        out = pc(out, name="packed_d")
+        out_c = pc(out_c, name="packed_c")
         for i in range(cfg.num_mc):
             cac_i = ({k: v[i] for k, v in cac.items()}
                      if cac is not None else None)
             out, out_c = mc_stage(out, out_c, cac_i)
+            if i < cfg.num_mc - 1:
+                out = pc(out, name="packed_d")
+                out_c = pc(out_c, name="packed_c")
 
     fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
 
@@ -410,9 +428,13 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
             return fuse_stage(out_f, fuse), None
         out_f, _ = jax.lax.scan(fuse_body, fuse, None, length=cfg.num_fuse)
     else:
-        out_f = fuse
-        for _ in range(cfg.num_fuse):
+        pc = (ops.precommit if packed
+              else (lambda t, s=None, *, name=None: t))
+        out_f = pc(fuse, name="packed_f")
+        for j in range(cfg.num_fuse):
             out_f = fuse_stage(out_f, fuse)
+            if j < cfg.num_fuse - 1:
+                out_f = pc(out_f, name="packed_f")
 
     out = relu(conv("conv11", out_f))
     return (conv("output", out) + residual).astype(jnp.float32)

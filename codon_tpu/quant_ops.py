@@ -217,10 +217,25 @@ class Int8StaticOps(XlaOps):
     guidance convs stay float as in all quant backends.
     """
 
-    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None):
+    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None,
+                 compute_dtype=jnp.float32):
         super().__init__(acc_dtype=acc_dtype, precision=precision)
         self.act_scales = {k: jnp.asarray(v, jnp.float32)
                            for k, v in act_scales.items()}
+        # float dtype of conv outputs when the input arrives pre-quantized
+        # (int8 carries no float dtype to inherit) — set to the model's
+        # compute dtype
+        self.compute_dtype = compute_dtype
+
+    def precommit(self, x, name=None):
+        """Stage-boundary handoff: store the tensor AS int8 on the
+        consuming site's grid. Kills the float intermediate's HBM
+        round-trip (the consuming conv2d would quantize with the SAME
+        scale, so results are bitwise identical)."""
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None or x.dtype == jnp.int8:
+            return x
+        return quantize_static(x, sc)
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
@@ -229,12 +244,17 @@ class Int8StaticOps(XlaOps):
                                   groups=groups)
         sc = _site_scale(self.act_scales, name, groups)
         if sc is None:
+            assert x.dtype != jnp.int8, (
+                f"pre-quantized input at uncalibrated site {name!r}")
             out = _int8_conv(x, w, padding=padding, groups=groups,
                              sx=_x_scale(x).astype(jnp.float32))
             return self.apply_mask(out, mask)
-        out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
-                  else jnp.float32)
-        x8 = quantize_static(x, sc)
+        if x.dtype == jnp.int8:
+            x8, out_dt = x, self.compute_dtype
+        else:
+            x8 = quantize_static(x, sc)
+            out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                      else self.compute_dtype)
         w8, sw = _fold_weights(w, sc)
         acc = lax.conv_general_dilated(
             x8, w8, (1, 1), padding, dimension_numbers=_DN,
@@ -256,11 +276,18 @@ class Int8StaticShardedOps(ShardedOps):
     """
 
     def __init__(self, act_scales, axis_name="sp", acc_dtype=jnp.float32,
-                 precision=None):
+                 precision=None, compute_dtype=jnp.float32):
         super().__init__(axis_name=axis_name, acc_dtype=acc_dtype,
                          precision=precision)
         self.act_scales = {k: jnp.asarray(v, jnp.float32)
                            for k, v in act_scales.items()}
+        self.compute_dtype = compute_dtype
+
+    def precommit(self, x, name=None):
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None or x.dtype == jnp.int8:
+            return x
+        return quantize_static(x, sc)
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
@@ -271,6 +298,8 @@ class Int8StaticShardedOps(ShardedOps):
         sc = _site_scale(self.act_scales, name, groups)
         wpad = ((0, 0), ((kw - 1) // 2,) * 2)
         if sc is None:
+            assert x.dtype != jnp.int8, (
+                f"pre-quantized input at uncalibrated site {name!r}")
             xh = _halo_exchange_h(x, (kh - 1) // 2, self.axis_name)
             local = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
             g = lax.all_gather(local, self.axis_name)
@@ -278,9 +307,12 @@ class Int8StaticShardedOps(ShardedOps):
                 jnp.float32)
             out = _int8_conv(xh, w, padding=wpad, groups=groups, sx=sx)
             return self.apply_mask(out, mask)
-        out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
-                  else jnp.float32)
-        x8 = quantize_static(x, sc)
+        if x.dtype == jnp.int8:
+            x8, out_dt = x, self.compute_dtype
+        else:
+            x8 = quantize_static(x, sc)
+            out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                      else self.compute_dtype)
         x8h = _halo_exchange_h(x8, (kh - 1) // 2, self.axis_name)
         w8, sw = _fold_weights(w, sc)
         acc = lax.conv_general_dilated(

@@ -198,3 +198,28 @@ def test_qat_static_step_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_precommit_handoff_matches_quantize_at_use():
+    """Unrolled packed stages hand int8 across stage boundaries
+    (ops.precommit); the scan lowering skips precommit and quantizes at
+    use. Identical scales + identical float inputs => identical int8 =>
+    (near-)identical outputs. Also: float backends treat precommit as
+    identity (fp32 forward unchanged)."""
+    import dataclasses as dc
+    from codon_tpu.quant_ops import Int8StaticOps
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(7)))
+    d, c = _data(7, B=2, H=24, W=19)
+    scales = _calibrated(v, params, [(d, c, None)])
+    ops = Int8StaticOps(scales)
+    cfg_unroll = v.cfg
+    cfg_scan = dc.replace(v.cfg, loop_impl="scan")
+    from codon_tpu.models.codon_net import codon_forward
+    a = np.asarray(codon_forward(params, d, c, cfg=cfg_unroll, ops=ops))
+    b = np.asarray(codon_forward(params, d, c, cfg=cfg_scan, ops=ops))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    # float path unaffected by the precommit calls
+    f_u = np.asarray(codon_forward(params, d, c, cfg=cfg_unroll))
+    f_s = np.asarray(codon_forward(params, d, c, cfg=cfg_scan))
+    np.testing.assert_allclose(f_u, f_s, atol=1e-5, rtol=1e-5)

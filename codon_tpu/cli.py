@@ -36,7 +36,10 @@ def _build_argparser() -> argparse.ArgumentParser:
     e.add_argument("--data-dir", default=None,
                    help="explicit scale dir (overrides --data-root)")
     e.add_argument("--ckpt", default=None,
-                   help=".npz or .pth checkpoint; random init if omitted")
+                   metavar="CKPT[,CKPT...]",
+                   help=".npz or .pth checkpoint; random init if omitted. "
+                        "Comma-separated list = model ensemble (outputs "
+                        "averaged; composes with --tta)")
     e.add_argument("--batch", type=int, default=4)
     e.add_argument("--dtype", choices=("bf16", "fp32", "fp16", "int8"),
                    default="bf16",
@@ -196,23 +199,40 @@ def cmd_eval(args) -> int:
         dtypes = {"bf16": BF16, "fp32": FP32, "fp16": FP16,
                   "int8": BF16}[args.dtype]
         variant = get_variant(args.variant, dtypes=dtypes)
-        params = _load_params(args, variant)
-        act_scales = (params.pop("act_scales", None)
-                      if isinstance(params, dict) else None)
-        eval_ops = None
-        if args.dtype == "int8":
+
+        def make_ops(act_scales):
+            if args.dtype != "int8":
+                return None
             if act_scales is not None:
                 from codon_tpu.quant_ops import Int8StaticOps
-                eval_ops = Int8StaticOps(
-                    act_scales,
-                    compute_dtype=variant.cfg.dtypes.compute_dtype)
                 print(f"int8: static per-channel scales from checkpoint "
                       f"({len(act_scales)} conv sites)")
-            else:
-                from codon_tpu.quant_ops import Int8Ops
-                eval_ops = Int8Ops()
-                print("int8: dynamic per-sample scales (checkpoint carries "
-                      "no act_scales; train --qat-static to add them)")
+                return Int8StaticOps(
+                    act_scales,
+                    compute_dtype=variant.cfg.dtypes.compute_dtype)
+            from codon_tpu.quant_ops import Int8Ops
+            print("int8: dynamic per-sample scales (checkpoint carries "
+                  "no act_scales; train --qat-static to add them)")
+            return Int8Ops()
+
+        ensemble = None
+        if args.ckpt and "," in args.ckpt:
+            import argparse as _ap
+            ensemble = []
+            for ck in args.ckpt.split(","):
+                sub_args = _ap.Namespace(**{**vars(args), "ckpt": ck})
+                p = _load_params(sub_args, variant)
+                sc = (p.pop("act_scales", None)
+                      if isinstance(p, dict) else None)
+                ensemble.append((p, make_ops(sc)))
+            params, act_scales = ensemble[0][0], None
+            eval_ops = ensemble[0][1]
+            print(f"ensemble: averaging {len(ensemble)} models")
+        else:
+            params = _load_params(args, variant)
+            act_scales = (params.pop("act_scales", None)
+                          if isinstance(params, dict) else None)
+            eval_ops = make_ops(act_scales)
         names = discover_pairs(scale_dir)
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
@@ -237,7 +257,21 @@ def cmd_eval(args) -> int:
 
         dp = max(1, getattr(args, "dp_devices", 0))
         sp = max(1, args.tile_devices)
-        if dp > 1 or sp > 1:
+        if ensemble is not None and (dp > 1 or sp > 1):
+            raise SystemExit("--ckpt ensembles are not supported with "
+                             "--dp-devices/--tile-devices")
+        if ensemble is not None and getattr(args, "device_metrics", False):
+            raise SystemExit("--ckpt ensembles are not supported with "
+                             "--device-metrics")
+        if ensemble is not None:
+            members = ensemble
+
+            def raw_fwd(p, d, c, m):
+                del p   # per-member params are baked in
+                outs = [variant.forward(mp, d, c, mask=m, ops=mo)
+                        for mp, mo in members]
+                return sum(outs) / len(outs)
+        elif dp > 1 or sp > 1:
             from codon_tpu.parallel.tiling import make_tiled_forward
             ops_factory = None
             if args.dtype == "int8":

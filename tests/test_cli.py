@@ -282,3 +282,35 @@ def test_export_cli(tmp_path):
     d = np.zeros((2, 24, 20, 1), np.float32)
     out = np.asarray(fn(d, d))
     assert out.shape == (2, 24, 20, 1)
+
+
+def test_eval_ensemble(tmp_path):
+    """--ckpt a,b: model ensemble averages outputs; ensemble of the same
+    checkpoint twice == single model."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck1, ck2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    for seed, ck in (("0", ck1), ("1", ck2)):
+        rc = cli.main(["train", "--scale", "4", "--data-dir", data,
+                       "--steps", "2", "--patch", "16", "--batch", "2",
+                       "--ckpt-out", ck, "--log-every", "1",
+                       "--dtype", "fp32", "--seed", seed])
+        assert rc == 0
+    js, jd, je = (str(tmp_path / n) for n in ("s.json", "d.json", "e.json"))
+    base = ["eval", "--scale", "4", "--data-dir", data, "--batch", "2",
+            "--no-save", "--dtype", "fp32", "--pad-multiple", "8"]
+    rc = cli.main(base + ["--ckpt", ck1, "--json", js,
+                          "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = cli.main(base + ["--ckpt", f"{ck1},{ck1}", "--json", jd,
+                          "--out", str(tmp_path / "o2")])
+    assert rc == 0
+    ms, md = json.load(open(js)), json.load(open(jd))
+    # the averaged program reorders float ops, which can flip the final
+    # uint8 truncation on boundary pixels — identical up to that noise
+    assert abs(ms["mean_rmse"] - md["mean_rmse"]) < 0.01
+    # a genuine two-model ensemble runs and reports metrics
+    rc = cli.main(base + ["--ckpt", f"{ck1},{ck2}", "--json", je,
+                          "--out", str(tmp_path / "o3")])
+    assert rc == 0
+    assert json.load(open(je))["mean_rmse"] > 0

@@ -322,9 +322,12 @@ def cmd_eval(args) -> int:
         evaluator = None
         if getattr(args, "device_metrics", False):
             if getattr(args, "tta", False):
-                print("WARNING: --device-metrics bypasses --tta "
-                      "(on-device evaluator runs the plain forward); "
-                      "drop one of the flags")
+                # refusing beats silently scoring the plain forward as if
+                # it were TTA (easy to archive wrong numbers)
+                raise SystemExit(
+                    "--device-metrics runs the plain forward and would "
+                    "silently report non-TTA numbers; drop --tta or "
+                    "--device-metrics")
             from codon_tpu.metrics.ondevice import make_batch_evaluator
             evaluator = make_batch_evaluator(variant)
 
@@ -468,8 +471,18 @@ def cmd_train(args) -> int:
               else variant.init(jax.random.PRNGKey(args.seed)))
     act_scales = (params.pop("act_scales", None)
                   if isinstance(params, dict) else None)
+    if act_scales is not None and not getattr(args, "qat_static", False):
+        print("WARNING: the input checkpoint carries act_scales (static "
+              "int8 grid) but --qat-static is not set; the output "
+              "checkpoint will NOT carry them and loses the fast "
+              "static-int8 path. Re-run with --qat-static to keep it.")
     qat_ops = None
     if getattr(args, "qat_static", False):
+        if not args.ckpt_in:
+            print("WARNING: --qat-static without --ckpt-in calibrates the "
+                  "frozen activation grid from RANDOM-init statistics, "
+                  "which caps int8 quality; warm-start from a trained "
+                  "checkpoint instead.")
         from codon_tpu.data.pipeline import batched_loader
         from codon_tpu.quant_ops import (FakeQuantStaticOps,
                                          calibrate_act_scales)

@@ -142,6 +142,13 @@ class PatchSampler:
                 "mask": np.ones((B, P, P, 1), np.float32)}
 
 
+class _WorkerError:
+    """Sentinel carrying an exception out of the prefetch worker thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchSampler:
     """Thread-backed sampler: .sample() pops a pre-assembled batch."""
 
@@ -153,19 +160,28 @@ class PrefetchSampler:
 
         def worker():
             while not self._stop.is_set():
-                b = sampler.sample()
+                try:
+                    b = sampler.sample()
+                except BaseException as e:  # surface in sample(), don't
+                    b = _WorkerError(e)     # die silently (daemon thread)
                 while not self._stop.is_set():
                     try:
                         self._q.put(b, timeout=0.2)
                         break
                     except queue.Full:
                         continue
+                if isinstance(b, _WorkerError):
+                    return
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
 
     def sample(self) -> dict:
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _WorkerError):
+            raise RuntimeError(
+                "PrefetchSampler worker thread failed") from item.exc
+        return item
 
     def close(self) -> None:
         self._stop.set()

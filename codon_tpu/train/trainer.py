@@ -49,18 +49,21 @@ def make_optimizer(cfg: TrainConfig):
     if cfg.clip_norm:
         parts.append(optax.clip_by_global_norm(cfg.clip_norm))
     if cfg.warmup_steps > 0 and cfg.total_steps > 0:
-        sched = optax.warmup_cosine_decay_schedule(
+        lr = optax.warmup_cosine_decay_schedule(
             init_value=cfg.learning_rate * 0.01,
             peak_value=cfg.learning_rate,
             warmup_steps=cfg.warmup_steps,
             decay_steps=cfg.total_steps,
             end_value=cfg.learning_rate * cfg.end_lr_ratio)
-        parts.append(optax.adam(sched))
     else:
-        parts.append(optax.adam(cfg.learning_rate))
+        lr = cfg.learning_rate
+    parts.append(optax.scale_by_adam())
     if cfg.weight_decay:
-        # AFTER adam: decoupled (AdamW-style) decay, not L2-into-gradient
+        # Decoupled (AdamW-style) decay: must come BEFORE the -lr scaling
+        # so the decay term is negated/scheduled along with the update
+        # (after scale_by_learning_rate it would ADD +wd*params per step).
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.scale_by_learning_rate(lr))
     return optax.chain(*parts)
 
 

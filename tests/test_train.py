@@ -56,6 +56,46 @@ def test_sharded_step_matches_single():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_weight_decay_shrinks_params():
+    """Regression (round-2 advisor, high): decay placed after adam's
+    scale(-lr) ADDED +wd*params per step — weights grew. With zero grads
+    the update must be ~ -lr*wd*params (AdamW semantics)."""
+    import optax
+    from codon_tpu.train.trainer import make_optimizer
+    lr, wd = 1e-2, 0.1
+    tx = make_optimizer(TrainConfig(learning_rate=lr, weight_decay=wd))
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.zeros((4,))}
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -lr * wd * np.ones(4), rtol=1e-6)
+    ref = optax.adamw(lr, weight_decay=wd)
+    ref_updates, _ = ref.update(grads, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               np.asarray(ref_updates["w"]), rtol=1e-5)
+
+
+def test_prefetch_sampler_propagates_worker_errors():
+    """Regression (round-2 advisor, medium): a sampler exception killed
+    the daemon thread silently and sample() blocked forever."""
+    import pytest
+    from codon_tpu.train.data import PatchSampler
+
+    class Boom(PatchSampler):
+        def sample(self):
+            raise ValueError("bad data")
+
+    rng = np.random.RandomState(0)
+    labs = [(rng.rand(40, 40) * 255).astype(np.uint8)]
+    s = Boom(labs, labs, scale=4, patch=16, batch=2).prefetch(2)
+    try:
+        with pytest.raises(RuntimeError, match="worker thread failed"):
+            s.sample()
+    finally:
+        s.close()
+
+
 def test_prefetch_sampler_delivers_batches():
     import numpy as np
     from codon_tpu.train.data import PatchSampler

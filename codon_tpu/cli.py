@@ -150,6 +150,10 @@ def _build_argparser() -> argparse.ArgumentParser:
     x.add_argument("--mask", action="store_true",
                    help="artifact takes a validity-mask input "
                         "(padded-batch serving)")
+    x.add_argument("--tta", action="store_true",
+                   help="bake the 4-flip self-ensemble into the artifact "
+                        "(batched lowering; quality-flagship serving "
+                        "config when combined with --dtype int8)")
 
     i = sub.add_parser("info", help="model + device summary")
     i.add_argument("--variant", default="codon")
@@ -215,24 +219,24 @@ def cmd_eval(args) -> int:
                   "no act_scales; train --qat-static to add them)")
             return Int8Ops()
 
-        ensemble = None
+        member_specs = []       # [(params, act_scales)] — 1 = no ensemble
         if args.ckpt and "," in args.ckpt:
             import argparse as _ap
-            ensemble = []
             for ck in args.ckpt.split(","):
                 sub_args = _ap.Namespace(**{**vars(args), "ckpt": ck})
                 p = _load_params(sub_args, variant)
-                sc = (p.pop("act_scales", None)
-                      if isinstance(p, dict) else None)
-                ensemble.append((p, make_ops(sc)))
-            params, act_scales = ensemble[0][0], None
-            eval_ops = ensemble[0][1]
-            print(f"ensemble: averaging {len(ensemble)} models")
+                member_specs.append(
+                    (p, p.pop("act_scales", None)
+                     if isinstance(p, dict) else None))
+            print(f"ensemble: averaging {len(member_specs)} models")
         else:
-            params = _load_params(args, variant)
-            act_scales = (params.pop("act_scales", None)
-                          if isinstance(params, dict) else None)
-            eval_ops = make_ops(act_scales)
+            p = _load_params(args, variant)
+            member_specs.append(
+                (p, p.pop("act_scales", None)
+                 if isinstance(p, dict) else None))
+        params, act_scales = member_specs[0]
+        ensemble = member_specs if len(member_specs) > 1 else None
+        eval_ops = make_ops(act_scales)
         names = discover_pairs(scale_dir)
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
@@ -257,44 +261,52 @@ def cmd_eval(args) -> int:
 
         dp = max(1, getattr(args, "dp_devices", 0))
         sp = max(1, args.tile_devices)
-        if ensemble is not None and (dp > 1 or sp > 1):
-            raise SystemExit("--ckpt ensembles are not supported with "
-                             "--dp-devices/--tile-devices")
         if ensemble is not None and getattr(args, "device_metrics", False):
             raise SystemExit("--ckpt ensembles are not supported with "
                              "--device-metrics")
-        if ensemble is not None:
-            members = ensemble
+        if dp > 1 or sp > 1:
+            from codon_tpu.parallel.tiling import make_tiled_forward
+
+            def make_mesh_fwd(sc):
+                # tiled/dp int8 keeps the quantized path (round-1 bug:
+                # the mesh branch silently fell back to bf16)
+                ops_factory = None
+                if args.dtype == "int8":
+                    if sc is not None:
+                        from codon_tpu.quant_ops import Int8StaticShardedOps
+                        cdt = variant.cfg.dtypes.compute_dtype
+
+                        def ops_factory(axis_name, **kw):
+                            return Int8StaticShardedOps(sc,
+                                                        axis_name=axis_name,
+                                                        compute_dtype=cdt,
+                                                        **kw)
+                    else:
+                        from codon_tpu.quant_ops import Int8ShardedOps
+                        ops_factory = Int8ShardedOps
+                return make_tiled_forward(variant, sp, dp,
+                                          ops_factory=ops_factory,
+                                          local_ops=make_ops(sc))
+
+            member_fwds = [(mp, make_mesh_fwd(sc))
+                           for mp, sc in member_specs]
+            print(f"mesh eval: dp={dp} x sp={sp} over "
+                  f"{dp * sp} devices"
+                  + (f", {len(member_fwds)}-model ensemble"
+                     if ensemble else ""))
+
+            def raw_fwd(p, d, c, m):
+                del p   # per-member params are baked in
+                outs = [f(mp, d, c, m) for mp, f in member_fwds]
+                return sum(outs) / len(outs)
+        elif ensemble is not None:
+            members = [(mp, make_ops(sc)) for mp, sc in member_specs]
 
             def raw_fwd(p, d, c, m):
                 del p   # per-member params are baked in
                 outs = [variant.forward(mp, d, c, mask=m, ops=mo)
                         for mp, mo in members]
                 return sum(outs) / len(outs)
-        elif dp > 1 or sp > 1:
-            from codon_tpu.parallel.tiling import make_tiled_forward
-            ops_factory = None
-            if args.dtype == "int8":
-                # tiled/dp int8 keeps the quantized path (round-1 bug:
-                # the mesh branch silently fell back to bf16)
-                if act_scales is not None:
-                    from codon_tpu.quant_ops import Int8StaticShardedOps
-
-                    cdt = variant.cfg.dtypes.compute_dtype
-
-                    def ops_factory(axis_name, **kw):
-                        return Int8StaticShardedOps(act_scales,
-                                                    axis_name=axis_name,
-                                                    compute_dtype=cdt,
-                                                    **kw)
-                else:
-                    from codon_tpu.quant_ops import Int8ShardedOps
-                    ops_factory = Int8ShardedOps
-            raw_fwd = make_tiled_forward(variant, sp, dp,
-                                         ops_factory=ops_factory,
-                                         local_ops=eval_ops)
-            print(f"mesh eval: dp={dp} x sp={sp} over "
-                  f"{dp * sp} devices")
         else:
             def raw_fwd(p, d, c, m):
                 return variant.forward(p, d, c, mask=m, ops=eval_ops)
@@ -631,10 +643,12 @@ def cmd_export(args) -> int:
             ops = Int8Ops()
             print("int8: dynamic per-sample scales")
     n = export_forward(variant, params, (args.height, args.width),
-                       args.out, ops=ops, mask=args.mask)
+                       args.out, ops=ops, mask=args.mask,
+                       tta=getattr(args, "tta", False))
     import jax
     print(f"exported {args.variant} {args.width}x{args.height} "
-          f"[{args.dtype}] for platform '{jax.default_backend()}' "
+          f"[{args.dtype}{'+tta' if getattr(args, 'tta', False) else ''}] "
+          f"for platform '{jax.default_backend()}' "
           f"-> {args.out} ({n / 1e6:.1f} MB)")
     return 0
 

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def export_forward(variant, params, hw: Tuple[int, int], path: str,
-                   ops=None, mask: bool = False) -> int:
+                   ops=None, mask: bool = False, tta: bool = False) -> int:
     """Serialize the forward to `path`. Returns the artifact size in bytes.
 
     hw: (H, W) of the (padded) input resolution.
@@ -33,6 +33,10 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
          with its scales — the full static-int8 path exports cleanly, it
          is pure XLA ops).
     mask: also take a validity-mask input (padded-batch serving).
+    tta: bake the 4-flip geometric self-ensemble into the artifact
+         (batched lowering — flips ride the batch axis of one forward;
+         models/tta.py). The quality-flagship serving config is
+         tta=True over a static-int8 ops backend.
     """
     import jax
     import jax.export
@@ -42,13 +46,18 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
     b = jax.export.symbolic_shape("b")[0]
     img = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
 
+    base = lambda p, d, c, m: variant.forward(p, d, c, mask=m, ops=ops)
+    if tta:
+        from codon_tpu.models.tta import make_tta_forward
+        base = make_tta_forward(base)
+
     if mask:
         def fwd(depth, color, m):
-            return variant.forward(params, depth, color, mask=m, ops=ops)
+            return base(params, depth, color, m)
         args = (img, img, img)
     else:
         def fwd(depth, color):
-            return variant.forward(params, depth, color, ops=ops)
+            return base(params, depth, color, None)
         args = (img, img)
 
     exp = jax.export.export(jax.jit(fwd))(*args)

@@ -264,6 +264,32 @@ def test_eval_tta(tmp_path):
     assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 2.0, (m1, m2)
 
 
+def test_eval_ensemble_tta_on_mesh(tmp_path):
+    """Round-3: ensembles and --tta compose with the dp x sp mesh.
+    Ensemble of the same checkpoint twice + TTA on a 2x2 mesh must agree
+    with single-device single-model TTA (same estimator, float-order
+    noise only)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data, n=2, hw=(40, 33))
+    ck = str(tmp_path / "a.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "2", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    base = ["eval", "--scale", "4", "--data-dir", data, "--batch", "2",
+            "--no-save", "--dtype", "fp32", "--pad-multiple", "8", "--tta"]
+    j1, j2 = str(tmp_path / "single.json"), str(tmp_path / "mesh.json")
+    rc = cli.main(base + ["--ckpt", ck, "--json", j1,
+                          "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = cli.main(base + ["--ckpt", f"{ck},{ck}", "--json", j2,
+                          "--dp-devices", "2", "--tile-devices", "2",
+                          "--out", str(tmp_path / "o2")])
+    assert rc == 0
+    m1, m2 = json.load(open(j1)), json.load(open(j2))
+    assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 0.01, (m1, m2)
+
+
 def test_export_cli(tmp_path):
     """cli export: checkpoint -> serving artifact -> runs standalone."""
     data = str(tmp_path / "data")

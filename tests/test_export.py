@@ -22,6 +22,33 @@ def test_export_roundtrip_polymorphic_batch(tmp_path):
         np.testing.assert_allclose(aot, live, atol=1e-5, rtol=1e-5)
 
 
+def test_export_tta_int8(tmp_path):
+    """The quality-flagship serving config — TTA baked over static-int8 —
+    exports with a polymorphic batch and matches the live TTA forward."""
+    from codon_tpu.models.tta import make_tta_forward
+    from codon_tpu.quant_ops import Int8StaticOps, calibrate_act_scales
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(2)))
+    rng = np.random.RandomState(2)
+    d = rng.rand(2, 20, 17, 1).astype(np.float32)
+    c = rng.rand(2, 20, 17, 1).astype(np.float32)
+    m = np.ones_like(d)
+    scales = calibrate_act_scales(
+        lambda p, a, b, ops, mask: v.forward(p, a, b, ops=ops, mask=mask),
+        params, [(d, c, m)])
+    ops = Int8StaticOps(scales)
+    path = str(tmp_path / "mtta.codonx")
+    export_forward(v, params, (20, 17), path, ops=ops, mask=True, tta=True)
+    fn = load_exported(path)
+    live_tta = make_tta_forward(
+        lambda p, a, b, mk: v.forward(p, a, b, mask=mk, ops=ops))
+    for B in (1, 2):   # polymorphic batch survives the 4x flip stacking
+        db, cb, mb = d[:B], c[:B], m[:B]
+        live = np.asarray(live_tta(params, db, cb, mb))
+        aot = np.asarray(fn(db, cb, mb))
+        np.testing.assert_allclose(aot, live, atol=2e-3, rtol=2e-3)
+
+
 def test_export_int8_static_and_mask(tmp_path):
     """The full static-int8 deployment path exports (pure XLA ops), with
     the padded-batch mask input."""

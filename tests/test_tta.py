@@ -42,6 +42,21 @@ def test_tta_is_mean_of_members():
     np.testing.assert_allclose(got, acc / 4.0, atol=1e-5, rtol=1e-5)
 
 
+def test_tta_batched_matches_sequential():
+    """The serving lowering (flips stacked on the batch axis, ONE forward)
+    computes the same ensemble as four sequential forwards. B=2 guards the
+    slice/unflip bookkeeping."""
+    params, d, c, fwd = _setup()
+    d2 = np.concatenate([d, d[:, ::-1]], 0)
+    c2 = np.concatenate([c, c[:, ::-1]], 0)
+    m2 = np.ones_like(d2)
+    batched = jax.jit(make_tta_forward(fwd, mode="batched"))
+    seq = jax.jit(make_tta_forward(fwd, mode="sequential"))
+    np.testing.assert_allclose(np.asarray(batched(params, d2, c2, m2)),
+                               np.asarray(seq(params, d2, c2, m2)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tta_mask_flips_with_content():
     """Padded batches: TTA of a padded image == TTA of the unpadded image
     on the valid region (mask travels with the flips)."""

@@ -86,6 +86,21 @@ class Ops:
         del name
         return x
 
+    def roundtrip(self, x, name=None):
+        """Pass a float tensor through the storage grid of site `name`
+        (float in, float out). Float backends: identity. Static-int8
+        backends: quantize + inline dequant — the MATERIALIZED tensor is
+        int8 (1 byte across HBM) and the per-channel dequant fuses into
+        every consumer pass. The model calls this on tensors with many
+        elementwise consumers (CAC gate inputs, stem outputs feeding the
+        per-stage residual adds) where the conv-input precommit contract
+        does not apply. Unlike precommit the call is visible to QAT and
+        calibration (FakeQuantStaticOps fake-quants on the same grid;
+        CalibrationOps records the site), so deployment numerics are
+        trained-for, not approximated."""
+        del name
+        return x
+
 
 class XlaOps(Ops):
     """Single-device / data-parallel backend: let XLA do everything.

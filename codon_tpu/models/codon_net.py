@@ -324,6 +324,11 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
     residual = x
     inputs = relu(conv("conv_input", relu(conv("input", x))))
     inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
+    # int8 handoff (active only when the checkpoint calibrated these
+    # sites): the stem outputs are read by every stage's residual add —
+    # store them 1-byte, dequant inline per consumer (Ops.roundtrip)
+    inputs = ops.roundtrip(inputs, name="stem_d")
+    inputs_c = ops.roundtrip(inputs_c, name="stem_c")
     out, out_c = inputs, inputs_c
 
     cac = p.get("cac") if cfg.use_cac else None
@@ -356,6 +361,12 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
             c_cat = jnp.concatenate(c_parts, axis=-1)
         out = conv("confuse", relu(conv("conv3", d_cat)))
         out_c = conv("confuse_c", relu(conv("conv6", c_cat)))
+        # int8 handoff for the gate/apply passes: the confuse outputs are
+        # the most-re-read tensors in the net (global pools, channel
+        # pools, gate multiply) — HBM traffic halves when they cross as
+        # int8. Trained-for under QAT (FakeQuantStaticOps.roundtrip).
+        out = ops.roundtrip(out, name="gate_d")
+        out_c = ops.roundtrip(out_c, name="gate_c")
 
         if use_pallas:
             from codon_tpu.kernels.cac import cac_stage_pallas
@@ -422,6 +433,8 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
                 out_c = pc(out_c, name="packed_c")
 
     fuse = relu(conv("conv7", jnp.concatenate([out, out_c], axis=-1)))
+    # conv7's output is re-read by all num_fuse residual adds
+    fuse = ops.roundtrip(fuse, name="fuse_r")
 
     if cfg.loop_impl == "scan":
         def fuse_body(out_f, _):

@@ -237,6 +237,18 @@ class Int8StaticOps(XlaOps):
             return x
         return quantize_static(x, sc)
 
+    def roundtrip(self, x, name=None):
+        """Elementwise-consumer handoff (CAC gate inputs, stem outputs):
+        materialize int8, dequant inline — consumers read 1-byte HBM and
+        fuse the per-channel dequant into their own pass. Inactive (site
+        absent from act_scales) on checkpoints calibrated before the
+        handoff existed, keeping their numerics bit-stable."""
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None or x.dtype == jnp.int8:
+            return x
+        q = quantize_static(x, sc)
+        return (q.astype(jnp.float32) * sc).astype(x.dtype)
+
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         if _skip_quant(w):
@@ -289,6 +301,15 @@ class Int8StaticShardedOps(ShardedOps):
             return x
         return quantize_static(x, sc)
 
+    def roundtrip(self, x, name=None):
+        # static grids are position-independent: identical on every shard,
+        # no collective (see class docstring)
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None or x.dtype == jnp.int8:
+            return x
+        q = quantize_static(x, sc)
+        return (q.astype(jnp.float32) * sc).astype(x.dtype)
+
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         if _skip_quant(w):
@@ -336,6 +357,20 @@ class FakeQuantStaticOps(XlaOps):
         super().__init__(acc_dtype=acc_dtype, precision=precision)
         self.act_scales = {k: jnp.asarray(v, jnp.float32)
                            for k, v in act_scales.items()}
+
+    def roundtrip(self, x, name=None):
+        """QAT model of Int8StaticOps.roundtrip: fake-quant on the frozen
+        per-channel grid (clipped STE), identity when the site is
+        uncalibrated — training sees exactly the rounding deployment
+        applies at the gate/stem handoffs."""
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None:
+            return x
+        q = (jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127)
+             * sc).astype(x.dtype)
+        ste = x + lax.stop_gradient(q - x)
+        inside = jnp.abs(x.astype(jnp.float32)) <= 127.0 * sc
+        return jnp.where(inside, ste, lax.stop_gradient(q))
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
@@ -388,6 +423,17 @@ class CalibrationOps(XlaOps):
             self.absmax[name] = am if prev is None else jnp.maximum(prev, am)
         return super().conv2d(x, w, padding=padding, mask=mask,
                               groups=groups)
+
+    def roundtrip(self, x, name=None):
+        """Record the handoff site's per-channel absmax so new
+        calibrations ship gate/stem grids (activating the int8 handoff
+        in the static backends)."""
+        if name is not None:
+            am = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
+            prev = self.absmax.get(name)
+            self.absmax[name] = am if prev is None else jnp.maximum(prev,
+                                                                    am)
+        return x
 
 
 def calibrate_act_scales(forward, params, batches):

@@ -112,7 +112,11 @@ def test_calibration_collects_all_sites():
     expect = {"conv_input": 64, "conv_input_c": 64, "packed_d": 64,
               "packed_c": 64, "packed_f": 64, "conv3": 128, "conv6": 128,
               "conv10": 128, "confuse": 128, "confuse_c": 128,
-              "confuse_fuse": 128, "conv7": 128, "conv11": 64}
+              "confuse_fuse": 128, "conv7": 128, "conv11": 64,
+              # int8 handoff grids (Ops.roundtrip): gate inputs, stem
+              # outputs, conv7 output — elementwise-consumer tensors
+              "gate_d": 64, "gate_c": 64, "stem_d": 64, "stem_c": 64,
+              "fuse_r": 64}
     assert set(scales) == set(expect), sorted(scales)
     for k, n in expect.items():
         assert scales[k].shape == (n,), (k, scales[k].shape)
@@ -198,6 +202,45 @@ def test_qat_static_step_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_roundtrip_handoff_op_semantics():
+    """Ops.roundtrip: the deployed int8 handoff (Int8Static*) and its QAT
+    model (FakeQuantStaticOps) apply the IDENTICAL rounding; uncalibrated
+    sites are identity (old checkpoints keep their exact numerics)."""
+    from codon_tpu.quant_ops import (FakeQuantStaticOps, Int8StaticOps,
+                                     Int8StaticShardedOps)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 7, 64).astype(np.float32))
+    sc = (np.abs(np.asarray(x)).max(axis=(0, 1, 2)) / 127.0
+          ).astype(np.float32)
+    scales = {"site": sc}
+    qat = np.asarray(FakeQuantStaticOps(scales).roundtrip(x, name="site"))
+    dep = np.asarray(Int8StaticOps(scales).roundtrip(x, name="site"))
+    np.testing.assert_allclose(qat, dep, atol=1e-6, rtol=1e-6)
+    shard = np.asarray(Int8StaticShardedOps(scales).roundtrip(
+        x, name="site"))
+    np.testing.assert_allclose(shard, dep, atol=0, rtol=0)
+    for ops in (Int8StaticOps({}), FakeQuantStaticOps({})):
+        np.testing.assert_array_equal(
+            np.asarray(ops.roundtrip(x, name="site")), np.asarray(x))
+
+
+def test_roundtrip_model_stays_close():
+    """The handoff grids perturb the static-int8 model output only in the
+    activation-LSB class (QAT then trains on exactly that grid)."""
+    from codon_tpu.quant_ops import Int8StaticOps
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(9)))
+    d, c = _data(9, B=2)
+    scales = _calibrated(v, params, [(d, c, None)])
+    handoff = ("gate_d", "gate_c", "stem_d", "stem_c", "fuse_r")
+    without = {k: s for k, s in scales.items() if k not in handoff}
+    assert set(scales) - set(without) == set(handoff)
+    a = np.asarray(v.forward(params, d, c, ops=Int8StaticOps(scales)))
+    b = np.asarray(v.forward(params, d, c, ops=Int8StaticOps(without)))
+    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-8)
+    assert rel < 0.1, rel
 
 
 def test_precommit_handoff_matches_quantize_at_use():

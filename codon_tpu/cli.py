@@ -105,6 +105,13 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--exclude", default="",
                    help="comma-separated image names to hold out of "
                         "training (for held-out evaluation)")
+    t.add_argument("--mix-scales", action="store_true",
+                   help="also train on the SHIPPED degradations of the "
+                        "same scenes from the other scale dirs (x4/x8/"
+                        "x16 input_depth under --data-root) — 3x real "
+                        "degradation pairs per scene, unlike re-"
+                        "synthesized pyramids (which mismatched the "
+                        "shipped degradation and regressed)")
     t.add_argument("--augment", choices=("full", "flips", "none"),
                    default="full",
                    help="patch augmentation: full = flips+rot90+photometric"
@@ -464,6 +471,28 @@ def cmd_train(args) -> int:
         if os.path.exists(dpath):
             degraded.append(imread_gray(dpath))
     use_real = len(degraded) == len(labels)
+    if getattr(args, "mix_scales", False):
+        if not use_real:
+            raise SystemExit("--mix-scales needs shipped input_depth for "
+                             "the primary scale")
+        from codon_tpu.data.io import imread_gray as _ig
+        added = 0
+        for s in (4, 8, 16):
+            if s == args.scale:
+                continue
+            sdir = os.path.join(args.data_root, f"CODON_X{s}")
+            for i, n in enumerate(names):
+                dpath = os.path.join(sdir, "input_depth", n + ".png")
+                if os.path.exists(dpath):
+                    deg = _ig(dpath)
+                    if deg.shape != labels[i].shape:
+                        continue
+                    labels.append(labels[i])
+                    colors.append(colors[i])
+                    degraded.append(deg)
+                    added += 1
+        print(f"mix-scales: +{added} shipped degradation pairs from the "
+              f"other scale dirs")
     print(f"train x{args.scale}: {len(labels)} source images, "
           f"patch={args.patch} batch={args.batch} steps={args.steps} "
           f"[{'shipped input_depth' if use_real else 'synthesized'} "

@@ -93,6 +93,23 @@ def test_convert_and_info(tmp_path):
     assert cli.main(["info", "--variant", "codon"]) == 0
 
 
+def test_train_mix_scales(tmp_path, capsys):
+    """--mix-scales pools the shipped degradations of the same scenes
+    from the other scale dirs into the training set."""
+    root = str(tmp_path)
+    for s in (4, 8):
+        _tiny_dataset(os.path.join(root, f"CODON_X{s}"))
+    ck = str(tmp_path / "t.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-root", root,
+                   "--steps", "3", "--patch", "16", "--batch", "2",
+                   "--ckpt-out", ck, "--log-every", "1", "--dtype",
+                   "fp32", "--mix-scales"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mix-scales: +3 shipped degradation pairs" in out
+    assert "6 source images" in out
+
+
 def test_eval_tiled_devices(tmp_path):
     """--tile-devices: spatially-sharded eval over the virtual CPU mesh."""
     data = str(tmp_path / "data")

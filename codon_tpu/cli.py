@@ -340,15 +340,15 @@ def cmd_eval(args) -> int:
 
         evaluator = None
         if getattr(args, "device_metrics", False):
-            if getattr(args, "tta", False):
-                # refusing beats silently scoring the plain forward as if
-                # it were TTA (easy to archive wrong numbers)
-                raise SystemExit(
-                    "--device-metrics runs the plain forward and would "
-                    "silently report non-TTA numbers; drop --tta or "
-                    "--device-metrics")
+            if dp > 1 or sp > 1:
+                raise SystemExit("--device-metrics is a single-device "
+                                 "path; drop --dp-devices/--tile-devices")
             from codon_tpu.metrics.ondevice import make_batch_evaluator
-            evaluator = make_batch_evaluator(variant)
+            # threads the TTA wrapper and the quantized Ops backend into
+            # the fused evaluator (round-2 advisor: the combination used
+            # to silently score the plain bf16 forward)
+            evaluator = make_batch_evaluator(
+                variant, tta=getattr(args, "tta", False), ops=eval_ops)
 
         rmse_sum = ssim_sum = 0.0
         per_image = []

@@ -19,13 +19,22 @@ from codon_tpu.metrics.rmse import masked_rmse_jnp
 from codon_tpu.metrics.ssim import ssim_exact_jnp
 
 
-def make_batch_evaluator(variant):
+def make_batch_evaluator(variant, tta: bool = False, ops=None):
     """-> jitted fn(params, depth, color, mask, label) -> dict of (N,) stats
-    plus the uint8 output batch (for optional saving)."""
+    plus the uint8 output batch (for optional saving).
+
+    tta: score the 4-flip self-ensemble (batched lowering) instead of the
+    plain forward — the on-device metrics then measure exactly what
+    `eval --tta` writes. ops: optional Ops backend (e.g. static int8)."""
+
+    fwd = lambda p, d, c, m: variant.forward(p, d, c, mask=m, ops=ops)
+    if tta:
+        from codon_tpu.models.tta import make_tta_forward
+        fwd = make_tta_forward(fwd)
 
     @jax.jit
     def evaluate(params, depth, color, mask, label):
-        out = variant.forward(params, depth, color, mask=mask)
+        out = fwd(params, depth, color, mask)
         u8 = (jnp.clip(out[..., 0], 0.0, 1.0) * 255).astype(jnp.uint8)
         dq = u8.astype(jnp.float32)               # what the PNG will hold
         lab = label[..., 0].astype(jnp.float32)

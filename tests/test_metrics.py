@@ -93,6 +93,37 @@ def test_ssim_jnp_batched_f32_close():
         assert abs(dev[i] - ssim_exact(a[i], b[i])) < 1e-4
 
 
+def test_ondevice_evaluator_tta_and_ops():
+    """make_batch_evaluator(tta=True, ops=...) scores the SAME estimator
+    eval --tta writes (round-2 advisor: the combo silently scored the
+    plain bf16 forward)."""
+    import jax
+    import jax.numpy as jnp
+    from codon_tpu.metrics.ondevice import make_batch_evaluator
+    from codon_tpu.models.tta import make_tta_forward
+    from codon_tpu.models.variants import get_variant
+    from codon_tpu.quant_ops import Int8Ops
+
+    rng = np.random.RandomState(3)
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(3)))
+    d = rng.rand(2, 24, 19, 1).astype(np.float32)
+    c = rng.rand(2, 24, 19, 1).astype(np.float32)
+    lab = (rng.rand(2, 24, 19, 1) * 255).astype(np.float32)
+    m = np.ones_like(d)
+    ops = Int8Ops()
+    ev = make_batch_evaluator(v, tta=True, ops=ops)
+    stats = ev(params, d, c, m, lab)
+    ref_fwd = make_tta_forward(
+        lambda p, a, b, mk: v.forward(p, a, b, mask=mk, ops=ops))
+    ref_u8 = (np.clip(np.asarray(ref_fwd(params, d, c, m))[..., 0], 0, 1)
+              * 255).astype(np.uint8)
+    for i in range(2):
+        r = masked_rmse(lab[i, ..., 0], ref_u8[i])
+        assert abs(float(stats["rmse"][i]) - r) < 1e-3
+    np.testing.assert_array_equal(np.asarray(stats["out_u8"]), ref_u8)
+
+
 def test_ondevice_evaluator_vs_host():
     """Fused on-device eval: RMSE exact vs host; SSIM close (zero-stat
     boundary ring on padded images)."""

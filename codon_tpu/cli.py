@@ -314,6 +314,23 @@ def cmd_eval(args) -> int:
                 outs = [variant.forward(mp, d, c, mask=m, ops=mo)
                         for mp, mo in members]
                 return sum(outs) / len(outs)
+        elif args.dtype == "int8" and act_scales is not None:
+            # scales ride the params pytree as jit ARGUMENTS, not closure
+            # constants: the compiled program (and the persistent compile
+            # cache entry) is then shared by every checkpoint of the same
+            # shape family instead of recompiling per checkpoint (the
+            # remote compile service makes that minutes per eval)
+            from codon_tpu.quant_ops import Int8StaticOps
+            params = dict(params)
+            params["act_scales"] = act_scales
+            cdt = variant.cfg.dtypes.compute_dtype
+
+            def raw_fwd(p, d, c, m):
+                p = dict(p)
+                sc = p.pop("act_scales")
+                return variant.forward(
+                    p, d, c, mask=m,
+                    ops=Int8StaticOps(sc, compute_dtype=cdt))
         else:
             def raw_fwd(p, d, c, m):
                 return variant.forward(p, d, c, mask=m, ops=eval_ops)

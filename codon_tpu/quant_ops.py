@@ -360,17 +360,23 @@ class FakeQuantStaticOps(XlaOps):
 
     def roundtrip(self, x, name=None):
         """QAT model of Int8StaticOps.roundtrip: fake-quant on the frozen
-        per-channel grid (clipped STE), identity when the site is
-        uncalibrated — training sees exactly the rounding deployment
-        applies at the gate/stem handoffs."""
+        per-channel grid, identity when the site is uncalibrated —
+        training sees exactly the rounding deployment applies at the
+        gate/stem handoffs.
+
+        PLAIN STE, deliberately not the clipped form conv2d uses: the
+        clipped where/stop_gradient pattern produced NaN gradients on the
+        TPU stack when the fake-quant output feeds the CAC max-pools
+        inside the scan'd stage loop (measured: scan+clipped nan,
+        scan+plain finite, unroll+clipped finite — same data, same
+        scales; /tmp-bisect 2026-08-17). Plain STE merely forgoes the
+        zero-gradient-outside-grid refinement."""
         sc = _site_scale(self.act_scales, name, 1)
         if sc is None:
             return x
         q = (jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127)
              * sc).astype(x.dtype)
-        ste = x + lax.stop_gradient(q - x)
-        inside = jnp.abs(x.astype(jnp.float32)) <= 127.0 * sc
-        return jnp.where(inside, ste, lax.stop_gradient(q))
+        return x + lax.stop_gradient(q - x)
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):

@@ -60,8 +60,20 @@ def main():
               f"({B / ms * 1e3:6.1f} img/s)", flush=True)
         return ms
 
+    # handoff A/B: the shipped ckpt predates the roundtrip sites, so
+    # calibrate a full grid (incl. gate_d/gate_c/stem_d/stem_c/fuse_r)
+    # from the same weights for the "with handoff" arm
+    from codon_tpu.quant_ops import calibrate_act_scales
+    full_scales = calibrate_act_scales(
+        lambda p, a, b, ops, mask: codon_forward(p, a, b, cfg=v.cfg,
+                                                 ops=ops, mask=mask),
+        params, [(d[:2], c[:2], None)])
+
     base = v.cfg
     full = run("int8 full (5mc+3fuse+cac)", base)
+    handoff = run("int8 full + roundtrip handoff", base,
+                  ops_builder=lambda: Int8StaticOps(
+                      full_scales, compute_dtype=base.dtypes.compute_dtype))
     no_cac = run("int8 no cac", dc.replace(base, use_cac=False))
     mc3 = run("int8 3 mc stages", dc.replace(base, num_mc=3))
     fuse0 = run("int8 0 fuse stages", dc.replace(base, num_fuse=0))
@@ -84,6 +96,8 @@ def main():
     print(f"cac total          : {cac_total:6.1f} ms")
     print(f"stems+head (resid) : {stems_head:6.1f} ms")
     print(f"stencil-vs-conv sp : {conv_sp - full:+6.1f} ms")
+    print(f"roundtrip handoff  : {handoff - full:+6.1f} ms "
+          f"({B / handoff * 1e3:6.1f} img/s)")
     print(f"int8 speedup vs bf16 (same program): {bf16_full / full:5.2f}x")
     # physics: 2.54 TFLOP/img, v5e int8 peak ~394 TOPS; HBM ~620 GB/s
     tops = 2.54 * B / (full / 1e3)

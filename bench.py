@@ -26,8 +26,14 @@ H, W = 370, 463               # Art.png eval size
 BATCH = 32                    # int8-static sweet spot (b16: 69.5, b32: 81.7)
 WARMUP, ITERS = 3, 10
 VARIANT = "codon"             # X4/X8 flagship flavor (incl. dead heads)
-QAT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "checkpoints", "x4_qat_static.npz")
+_CKPT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "checkpoints")
+# prefer the round-3 generation (18-site grid incl. the int8 gate/stem
+# handoffs -> less HBM traffic in the non-conv passes)
+QAT_CKPT = next((p for p in (
+    os.path.join(_CKPT_DIR, "x4_qat_static2.npz"),
+    os.path.join(_CKPT_DIR, "x4_qat_static.npz")) if os.path.exists(p)),
+    os.path.join(_CKPT_DIR, "x4_qat_static.npz"))
 
 
 def main() -> None:

@@ -307,13 +307,33 @@ def cmd_eval(args) -> int:
                 outs = [f(mp, d, c, m) for mp, f in member_fwds]
                 return sum(outs) / len(outs)
         elif ensemble is not None:
-            members = [(mp, make_ops(sc)) for mp, sc in member_specs]
+            # members ride the jit as ONE list-pytree argument (scales
+            # included), so ensemble programs are also checkpoint-
+            # agnostic and compile-cached per (member-count, dtype,
+            # shape) family
+            if args.dtype == "int8":
+                from codon_tpu.quant_ops import Int8Ops, Int8StaticOps
+                cdt = variant.cfg.dtypes.compute_dtype
+                params = [dict(mp, act_scales=sc) if sc is not None
+                          else dict(mp) for mp, sc in member_specs]
 
-            def raw_fwd(p, d, c, m):
-                del p   # per-member params are baked in
-                outs = [variant.forward(mp, d, c, mask=m, ops=mo)
-                        for mp, mo in members]
-                return sum(outs) / len(outs)
+                def raw_fwd(plist, d, c, m):
+                    outs = []
+                    for p in plist:
+                        p = dict(p)
+                        sc = p.pop("act_scales", None)
+                        mo = (Int8StaticOps(sc, compute_dtype=cdt)
+                              if sc is not None else Int8Ops())
+                        outs.append(variant.forward(p, d, c, mask=m,
+                                                    ops=mo))
+                    return sum(outs) / len(outs)
+            else:
+                params = [mp for mp, _ in member_specs]
+
+                def raw_fwd(plist, d, c, m):
+                    outs = [variant.forward(p, d, c, mask=m, ops=eval_ops)
+                            for p in plist]
+                    return sum(outs) / len(outs)
         elif args.dtype == "int8" and act_scales is not None:
             # scales ride the params pytree as jit ARGUMENTS, not closure
             # constants: the compiled program (and the persistent compile

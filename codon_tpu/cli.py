@@ -123,6 +123,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "steps into this directory (keep-last-3, atomic), "
                         "resuming from the latest step if one exists")
     t.add_argument("--save-every", type=int, default=500)
+    t.add_argument("--no-handoff", action="store_true",
+                   help="with --qat-static: drop the int8 gate/stem "
+                        "handoff grids (Ops.roundtrip sites) from the "
+                        "calibration — pure conv-site quantization; "
+                        "slightly slower deployment, measurably better "
+                        "RMSE on edge-heavy scenes at x4")
     t.add_argument("--qat-static", action="store_true",
                    help="QAT on FROZEN per-channel static activation "
                         "scales: calibrates scales on full frames first, "
@@ -579,6 +585,12 @@ def cmd_train(args) -> int:
             lambda p, d, c, ops, mask: cal_variant.forward(
                 p, d, c, ops=ops, mask=mask),
             params, cal_batches())
+        if getattr(args, "no_handoff", False):
+            from codon_tpu.quant_ops import HANDOFF_SITES
+            act_scales = {k: v for k, v in act_scales.items()
+                          if k not in HANDOFF_SITES}
+            print("no-handoff: dropped the roundtrip grids "
+                  f"({len(act_scales)} conv sites kept)")
         qat_ops = FakeQuantStaticOps(act_scales)
         print(f"QAT-static: calibrated {len(act_scales)} conv sites on "
               f"{len(names)} full frames; training on the frozen grid")

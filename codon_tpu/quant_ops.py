@@ -189,6 +189,12 @@ class Int8ShardedOps(ShardedOps):
 # with FakeQuantStaticOps so the weights adapt to the frozen grid.
 
 
+# Ops.roundtrip (elementwise-consumer handoff) site names — calibration
+# records them; strip them from a scales dict to deploy without the
+# handoff (pure conv-site quantization, the round-2 numerics)
+HANDOFF_SITES = ("gate_d", "gate_c", "stem_d", "stem_c", "fuse_r")
+
+
 def _site_scale(act_scales, name, groups):
     if name is None or groups != 1:
         return None

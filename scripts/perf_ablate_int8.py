@@ -13,12 +13,15 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/perf_ablate_int8.py
 """
 import dataclasses as dc
 import os
+import sys
 import time
 
 import numpy as np
 
 B, H, W = 32, 370, 463
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def main():

@@ -47,7 +47,7 @@ def main() -> None:
         return p, sc
 
     ckpt = next(p for p in (
-        os.path.join(_CKPT, "x4_qat_static2b.npz"),
+        os.path.join(_CKPT, "x4_ship_qat_static.npz"),
         os.path.join(_CKPT, "x4_qat_static2.npz"),
         os.path.join(_CKPT, "x4_qat_static.npz")) if os.path.exists(p))
     params, act_scales = load(ckpt)

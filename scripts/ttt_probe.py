@@ -12,6 +12,18 @@ hundred steps on patches of (D2, C) -> D — no ground truth touched —
 then run the adapted weights on (D, C).
 
 Legitimate at deployment: uses only the inputs the model is handed.
+
+MEASURED NEGATIVE (round 3, x4 holdout ckpt x4_holdout2, Art/Cones/Teddy):
+every image regresses at every setting tried — steps=300 lr=2e-5 mean
+RMSE 2.48 -> 4.23; steps=100 lr=3e-6 mean 2.48 -> 3.35 (archived in
+checkpoints/ttt_probe_x4_*.json). The internal pair re-degrades the
+already-degraded input with the synthesized bicubic down-up operator, and
+that proxy task mismatches the real restoration task the same way every
+other degradation-mismatch lever did here (round-2 pyramid augmentation,
+round-3 --mix-scales): fine-tuning a strong prior on it actively destroys
+the prior. Kept as the documented dead end for "can test-time internal
+learning close the held-out per-image gap" — it cannot, on this task.
+
 Usage:
   python scripts/ttt_probe.py --scale 4 --ckpt checkpoints/x4_holdout2.npz \
       --images Art,Cones,Teddy --steps 300 --lr 2e-5 --tta

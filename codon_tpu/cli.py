@@ -73,6 +73,10 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "— 4x compute for a standard SR quality bump; "
                         "flips only (no rot90) so padded mixed-size "
                         "batches and masks stay valid")
+    e.add_argument("--tta8", action="store_true",
+                   help="full dihedral self-ensemble (the 4 flips plus "
+                        "their transposes, 8 transforms, 8x compute); "
+                        "implies --tta")
     e.add_argument("--device-metrics", action="store_true",
                    help="compute RMSE/SSIM on device inside the forward jit "
                         "(scalars are the only D2H traffic; RMSE exact, "
@@ -366,10 +370,12 @@ def cmd_eval(args) -> int:
         # (clip(out,0,1)*255).astype(uint8) truncation (CODON_X4/test.py:130)
         import jax.numpy as jnp
 
-        if getattr(args, "tta", False):
+        tta_n = 8 if getattr(args, "tta8", False) else (
+            4 if getattr(args, "tta", False) else 0)
+        if tta_n:
             from codon_tpu.models.tta import make_tta_forward
-            raw_fwd = make_tta_forward(raw_fwd)
-            print("tta: 4-flip geometric self-ensemble")
+            raw_fwd = make_tta_forward(raw_fwd, transforms=tta_n)
+            print(f"tta: {tta_n}-transform geometric self-ensemble")
 
         @jax.jit
         def fwd_u8(p, d, c, m):
@@ -391,7 +397,7 @@ def cmd_eval(args) -> int:
             # the fused evaluator (round-2 advisor: the combination used
             # to silently score the plain bf16 forward)
             evaluator = make_batch_evaluator(
-                variant, tta=getattr(args, "tta", False), ops=eval_ops)
+                variant, tta=tta_n, ops=eval_ops)
 
         rmse_sum = ssim_sum = 0.0
         per_image = []
@@ -464,6 +470,7 @@ def cmd_eval(args) -> int:
             "img_per_sec_e2e": len(names) / t_total if t_total else None,
             "img_per_sec_compute": (len(names) / t_compute
                                     if t_compute else None),
+            "tta_transforms": tta_n,
             "per_image": per_image,
         }
         if n:

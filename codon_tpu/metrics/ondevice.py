@@ -19,18 +19,19 @@ from codon_tpu.metrics.rmse import masked_rmse_jnp
 from codon_tpu.metrics.ssim import ssim_exact_jnp
 
 
-def make_batch_evaluator(variant, tta: bool = False, ops=None):
+def make_batch_evaluator(variant, tta=False, ops=None):
     """-> jitted fn(params, depth, color, mask, label) -> dict of (N,) stats
     plus the uint8 output batch (for optional saving).
 
-    tta: score the 4-flip self-ensemble (batched lowering) instead of the
-    plain forward — the on-device metrics then measure exactly what
-    `eval --tta` writes. ops: optional Ops backend (e.g. static int8)."""
+    tta: score the geometric self-ensemble (batched lowering) instead of
+    the plain forward — the on-device metrics then measure exactly what
+    `eval --tta` writes. Accepts False/0, True/4 (flips) or 8 (full D4).
+    ops: optional Ops backend (e.g. static int8)."""
 
     fwd = lambda p, d, c, m: variant.forward(p, d, c, mask=m, ops=ops)
     if tta:
         from codon_tpu.models.tta import make_tta_forward
-        fwd = make_tta_forward(fwd)
+        fwd = make_tta_forward(fwd, transforms=8 if tta == 8 else 4)
 
     @jax.jit
     def evaluate(params, depth, color, mask, label):

@@ -281,6 +281,23 @@ def test_eval_tta(tmp_path):
     assert abs(m1["mean_rmse"] - m2["mean_rmse"]) < 2.0, (m1, m2)
 
 
+def test_eval_tta8(tmp_path):
+    """--tta8: the 8-transform dihedral ensemble runs end-to-end (the
+    transposed quartet exercises non-square padded batches) and records
+    its mode in the summary JSON."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    j = str(tmp_path / "a.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", j, "--dtype", "fp32",
+                   "--pad-multiple", "8", "--tta8",
+                   "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    m = json.load(open(j))
+    assert m["tta_transforms"] == 8
+    assert m["mean_rmse"] > 0
+
+
 def test_eval_ensemble_tta_on_mesh(tmp_path):
     """Round-3: ensembles and --tta compose with the dp x sp mesh.
     Ensemble of the same checkpoint twice + TTA on a 2x2 mesh must agree

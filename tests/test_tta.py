@@ -57,6 +57,38 @@ def test_tta_batched_matches_sequential():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_tta8_is_mean_of_dihedral_members():
+    """transforms=8 averages over the full dihedral group D4: the four
+    flips plus transpose composed with each flip (non-square input guards
+    the H/W bookkeeping of the transposed quartet)."""
+    params, d, c, fwd = _setup()
+    tta8 = make_tta_forward(fwd, transforms=8)
+    got = np.asarray(tta8(params, d, c, None))
+    acc = np.zeros_like(got)
+    for tr in (False, True):
+        for fh in (False, True):
+            for fv in (False, True):
+                ax = ([1] if fv else []) + ([2] if fh else [])
+                fl = (lambda t: np.flip(t, tuple(ax))) if ax else (
+                    lambda t: t)
+                tp = (lambda t: np.swapaxes(t, 1, 2)) if tr else (
+                    lambda t: t)
+                o = np.asarray(fwd(params, jnp.asarray(fl(tp(d))),
+                                   jnp.asarray(fl(tp(c))), None))
+                acc += tp(fl(o))
+    np.testing.assert_allclose(got, acc / 8.0, atol=1e-5, rtol=1e-5)
+
+
+def test_tta8_batched_matches_sequential():
+    params, d, c, fwd = _setup()
+    m = np.ones_like(d)
+    batched = jax.jit(make_tta_forward(fwd, mode="batched", transforms=8))
+    seq = jax.jit(make_tta_forward(fwd, mode="sequential", transforms=8))
+    np.testing.assert_allclose(np.asarray(batched(params, d, c, m)),
+                               np.asarray(seq(params, d, c, m)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tta_mask_flips_with_content():
     """Padded batches: TTA of a padded image == TTA of the unpadded image
     on the valid region (mask travels with the flips)."""

@@ -75,3 +75,23 @@ def test_x16_model_rmcr_fuse_rmcr():
     ref = ref.numpy().transpose(0, 2, 3, 1)
     out = np.asarray(v.forward(params, d, c))
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_codon_f5_checkpoint_compatible():
+    """codon_f5 (5 fusion MC iterations) shares the exact param pytree
+    with 'codon' — the fusion loop reuses one weight set
+    (CODON_x4.py:122-128) — so checkpoints interchange, while the
+    forward genuinely differs (more refinement steps)."""
+    import jax
+    a, b = get_variant("codon"), get_variant("codon_f5")
+    pa = a.init(jax.random.PRNGKey(0))
+    pb = b.init(jax.random.PRNGKey(0))
+    assert jax.tree.structure(pa) == jax.tree.structure(pb)
+    assert all(x.shape == y.shape for x, y in
+               zip(jax.tree.leaves(pa), jax.tree.leaves(pb)))
+    rng = np.random.RandomState(3)
+    d = rng.rand(1, 16, 13, 1).astype(np.float32)
+    c = rng.rand(1, 16, 13, 1).astype(np.float32)
+    oa = np.asarray(a.forward(pa, d, c))
+    ob = np.asarray(b.forward(pa, d, c))
+    assert np.abs(oa - ob).max() > 1e-6

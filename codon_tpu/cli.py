@@ -50,7 +50,10 @@ def _build_argparser() -> argparse.ArgumentParser:
     e.add_argument("--no-save", action="store_true")
     e.add_argument("--log", default=None, help="tee stdout to this file")
     e.add_argument("--variant", default="codon",
-                   help="model variant name (see models.variants registry)")
+                   help="model variant name (see models.variants registry); "
+                        "with --ckpt a,b ensembles, accepts a matching "
+                        "comma list for mixed-architecture members "
+                        "(single name = all members share it)")
     e.add_argument("--tile-devices", type=int, default=0,
                    help=">1: spatially-tiled inference over N devices "
                         "(the image H axis sharded, halo-exchange convs, "
@@ -219,7 +222,8 @@ def cmd_eval(args) -> int:
         scale_dir = _scale_dir(args)
         dtypes = {"bf16": BF16, "fp32": FP32, "fp16": FP16,
                   "int8": BF16}[args.dtype]
-        variant = get_variant(args.variant, dtypes=dtypes)
+        vnames = args.variant.split(",")
+        variant = get_variant(vnames[0], dtypes=dtypes)
 
         def make_ops(act_scales):
             if args.dtype != "int8":
@@ -236,22 +240,35 @@ def cmd_eval(args) -> int:
                   "no act_scales; train --qat-static to add them)")
             return Int8Ops()
 
-        member_specs = []       # [(params, act_scales)] — 1 = no ensemble
+        member_specs = []   # [(params, act_scales, variant)] — 1 = solo
         if args.ckpt and "," in args.ckpt:
             import argparse as _ap
-            for ck in args.ckpt.split(","):
+            ckpts = args.ckpt.split(",")
+            if len(vnames) not in (1, len(ckpts)):
+                raise SystemExit(
+                    f"--variant lists {len(vnames)} names for "
+                    f"{len(ckpts)} --ckpt members (give 1 or {len(ckpts)})")
+            member_variants = [get_variant(v, dtypes=dtypes) for v in
+                               (vnames * len(ckpts) if len(vnames) == 1
+                                else vnames)]
+            for ck, mv in zip(ckpts, member_variants):
                 sub_args = _ap.Namespace(**{**vars(args), "ckpt": ck})
-                p = _load_params(sub_args, variant)
+                p = _load_params(sub_args, mv)
                 member_specs.append(
                     (p, p.pop("act_scales", None)
-                     if isinstance(p, dict) else None))
-            print(f"ensemble: averaging {len(member_specs)} models")
+                     if isinstance(p, dict) else None, mv))
+            print(f"ensemble: averaging {len(member_specs)} models"
+                  + (f" [{', '.join(v.name for v in member_variants)}]"
+                     if len(vnames) > 1 else ""))
         else:
+            if len(vnames) > 1:
+                raise SystemExit("--variant lists multiple names but "
+                                 "--ckpt is not an ensemble")
             p = _load_params(args, variant)
             member_specs.append(
                 (p, p.pop("act_scales", None)
-                 if isinstance(p, dict) else None))
-        params, act_scales = member_specs[0]
+                 if isinstance(p, dict) else None, variant))
+        params, act_scales, _ = member_specs[0]
         ensemble = member_specs if len(member_specs) > 1 else None
         eval_ops = make_ops(act_scales)
         names = discover_pairs(scale_dir)
@@ -284,14 +301,14 @@ def cmd_eval(args) -> int:
         if dp > 1 or sp > 1:
             from codon_tpu.parallel.tiling import make_tiled_forward
 
-            def make_mesh_fwd(sc):
+            def make_mesh_fwd(sc, mv):
                 # tiled/dp int8 keeps the quantized path (round-1 bug:
                 # the mesh branch silently fell back to bf16)
                 ops_factory = None
                 if args.dtype == "int8":
                     if sc is not None:
                         from codon_tpu.quant_ops import Int8StaticShardedOps
-                        cdt = variant.cfg.dtypes.compute_dtype
+                        cdt = mv.cfg.dtypes.compute_dtype
 
                         def ops_factory(axis_name, **kw):
                             return Int8StaticShardedOps(sc,
@@ -301,12 +318,12 @@ def cmd_eval(args) -> int:
                     else:
                         from codon_tpu.quant_ops import Int8ShardedOps
                         ops_factory = Int8ShardedOps
-                return make_tiled_forward(variant, sp, dp,
+                return make_tiled_forward(mv, sp, dp,
                                           ops_factory=ops_factory,
                                           local_ops=make_ops(sc))
 
-            member_fwds = [(mp, make_mesh_fwd(sc))
-                           for mp, sc in member_specs]
+            member_fwds = [(mp, make_mesh_fwd(sc, mv))
+                           for mp, sc, mv in member_specs]
             print(f"mesh eval: dp={dp} x sp={sp} over "
                   f"{dp * sp} devices"
                   + (f", {len(member_fwds)}-model ensemble"
@@ -321,28 +338,28 @@ def cmd_eval(args) -> int:
             # included), so ensemble programs are also checkpoint-
             # agnostic and compile-cached per (member-count, dtype,
             # shape) family
+            member_vs = [mv for _, _, mv in member_specs]
             if args.dtype == "int8":
                 from codon_tpu.quant_ops import Int8Ops, Int8StaticOps
                 cdt = variant.cfg.dtypes.compute_dtype
                 params = [dict(mp, act_scales=sc) if sc is not None
-                          else dict(mp) for mp, sc in member_specs]
+                          else dict(mp) for mp, sc, _ in member_specs]
 
                 def raw_fwd(plist, d, c, m):
                     outs = []
-                    for p in plist:
+                    for p, mv in zip(plist, member_vs):
                         p = dict(p)
                         sc = p.pop("act_scales", None)
                         mo = (Int8StaticOps(sc, compute_dtype=cdt)
                               if sc is not None else Int8Ops())
-                        outs.append(variant.forward(p, d, c, mask=m,
-                                                    ops=mo))
+                        outs.append(mv.forward(p, d, c, mask=m, ops=mo))
                     return sum(outs) / len(outs)
             else:
-                params = [mp for mp, _ in member_specs]
+                params = [mp for mp, _, _ in member_specs]
 
                 def raw_fwd(plist, d, c, m):
-                    outs = [variant.forward(p, d, c, mask=m, ops=eval_ops)
-                            for p in plist]
+                    outs = [mv.forward(p, d, c, mask=m, ops=eval_ops)
+                            for p, mv in zip(plist, member_vs)]
                     return sum(outs) / len(outs)
         elif args.dtype == "int8" and act_scales is not None:
             # scales ride the params pytree as jit ARGUMENTS, not closure

@@ -298,6 +298,41 @@ def test_eval_tta8(tmp_path):
     assert m["mean_rmse"] > 0
 
 
+def test_eval_mixed_variant_ensemble(tmp_path):
+    """--variant a,b with --ckpt a,b: mixed-architecture ensembles.
+    codon_f5 shares codon's param pytree, so the same checkpoint serves
+    both members; the ensemble must differ from the solo codon eval
+    (the f5 member runs 2 extra fusion iterations)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data, n=2, hw=(40, 33))
+    ck = str(tmp_path / "a.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "2", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    base = ["eval", "--scale", "4", "--data-dir", data, "--batch", "2",
+            "--no-save", "--dtype", "fp32", "--pad-multiple", "8"]
+    j1, j2 = str(tmp_path / "solo.json"), str(tmp_path / "mixed.json")
+    rc = cli.main(base + ["--ckpt", ck, "--json", j1,
+                          "--out", str(tmp_path / "o1")])
+    assert rc == 0
+    rc = cli.main(base + ["--ckpt", f"{ck},{ck}",
+                          "--variant", "codon,codon_f5", "--json", j2,
+                          "--out", str(tmp_path / "o2")])
+    assert rc == 0
+    m1, m2 = json.load(open(j1)), json.load(open(j2))
+    assert m1["mean_rmse"] != m2["mean_rmse"]
+    # mismatched list length is a hard error
+    rc = None
+    try:
+        cli.main(base + ["--ckpt", f"{ck},{ck}",
+                         "--variant", "codon,codon,codon_f5",
+                         "--json", j2, "--out", str(tmp_path / "o3")])
+    except SystemExit:
+        rc = "raised"
+    assert rc == "raised"
+
+
 def test_eval_ensemble_tta_on_mesh(tmp_path):
     """Round-3: ensembles and --tta compose with the dp x sp mesh.
     Ensemble of the same checkpoint twice + TTA on a 2x2 mesh must agree

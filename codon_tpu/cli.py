@@ -145,6 +145,11 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--qat", action="store_true",
                    help="quantization-aware fine-tuning (fake-quant convs; "
                         "deploy with eval --dtype int8)")
+    t.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                   help="maintain a Polyak/EMA average of the weights "
+                        "(e.g. 0.999) and save it alongside --ckpt-out "
+                        "as <out>_ema.npz; evaluate THAT checkpoint for "
+                        "the smoothed-weights quality lever")
 
     g = sub.add_parser("golden", help="score archived reference outputs")
     g.add_argument("--scale", type=int, choices=(4, 8, 16), default=4)
@@ -659,9 +664,26 @@ def cmd_train(args) -> int:
             print(f"orbax: async checkpoints -> {args.orbax_dir} "
                   f"every {args.save_every} steps (keep-last-3)")
 
+    ema_decay = getattr(args, "ema", 0.0)
+    ema_params = None
+    ema_update = None
+    if ema_decay:
+        if not 0.0 < ema_decay < 1.0:
+            raise SystemExit(f"--ema must be in (0, 1), got {ema_decay}")
+        # EMA starts AT the current weights (warm start or init), so no
+        # zero-init debiasing is needed; on orbax resume it restarts from
+        # the restored weights (the average stream is not checkpointed).
+        ema_params = jax.tree_util.tree_map(lambda x: x + 0, params)
+        ema_update = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda ev, pv: ema_decay * ev + (1.0 - ema_decay) * pv, e, p))
+        print(f"ema: decay {ema_decay} -> "
+              f"{_ema_path(args.ckpt_out)}")
+
     t0 = time.time()
     for i in range(start_step + 1, args.steps + 1):
         params, opt_state, m = step(params, opt_state, sampler.sample())
+        if ema_update is not None:
+            ema_params = ema_update(ema_params, params)
         if i % args.log_every == 0 or i == 1:
             loss = float(m["loss"])  # D2H sync point
             rate = (i - start_step) * args.batch / (time.time() - t0)
@@ -682,9 +704,20 @@ def cmd_train(args) -> int:
         # act_scales and runs Int8StaticOps (no dynamic reductions)
         params = dict(params)
         params["act_scales"] = act_scales
+        if ema_params is not None:
+            ema_params = dict(ema_params)
+            ema_params["act_scales"] = act_scales
     save_npz(args.ckpt_out, params)
     print(f"saved {args.ckpt_out}")
+    if ema_params is not None:
+        save_npz(_ema_path(args.ckpt_out), ema_params)
+        print(f"saved {_ema_path(args.ckpt_out)}")
     return 0
+
+
+def _ema_path(ckpt_out: str) -> str:
+    base, ext = os.path.splitext(ckpt_out)
+    return base + "_ema" + (ext or ".npz")
 
 
 def cmd_golden(args) -> int:

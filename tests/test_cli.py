@@ -69,6 +69,38 @@ def test_train_smoke(tmp_path):
     assert rc == 0
 
 
+def test_train_ema(tmp_path):
+    """--ema saves a Polyak-averaged sibling checkpoint that (a) differs
+    from the final weights, (b) stays close to them at high decay over a
+    short run, and (c) loads back into eval."""
+    from codon_tpu.checkpoint import load_npz
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "t.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "4", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32", "--ema", "0.9"])
+    assert rc == 0
+    ema_ck = str(tmp_path / "t_ema.npz")
+    assert os.path.exists(ema_ck)
+    import jax
+    final = jax.tree_util.tree_leaves(load_npz(ck))
+    ema = jax.tree_util.tree_leaves(load_npz(ema_ck))
+    assert len(final) == len(ema)
+    diffs = []
+    for fv, ev in zip(final, ema):
+        a, b = np.asarray(fv, np.float64), np.asarray(ev, np.float64)
+        assert np.all(np.isfinite(b))
+        diffs.append(np.max(np.abs(a - b)))
+    assert max(diffs) > 0  # the average lags the raw weights...
+    # ...but after 4 steps from the same init it cannot be far away
+    assert max(diffs) < 0.1
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--ckpt",
+                   ema_ck, "--no-save", "--batch", "2", "--dtype", "fp32",
+                   "--pad-multiple", "8"])
+    assert rc == 0
+
+
 @pytest.mark.skipif(not reference_available(), reason="no reference data")
 def test_golden_matches_baseline(capsys):
     rc = cli.main(["golden", "--scale", "8"])

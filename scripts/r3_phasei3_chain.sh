@@ -10,11 +10,16 @@ EX="Art,Cones,Teddy"
 run() { timeout 10800 python -m codon_tpu.cli "$@"; }
 CK=checkpoints
 
-# 0. wait for the device: a trivial client must init + run within 120 s
-until timeout 120 python -c "
+# 0. wait for the device with an UNTIMED client: it blocks harmlessly in
+# backend init until the stale claim expires, then becomes the holder,
+# runs one op, and exits cleanly. (A timeout-killed probe risks dying
+# mid-grant and minting a fresh stale claim — the failure mode that
+# caused this outage.) If the client itself dies (e.g. UNAVAILABLE after
+# the server's ~25-min RPC timeout), loop and wait again.
+until python -c "
 import jax, jax.numpy as jnp
-print(jnp.add(1, 1), jax.devices())" 2>/dev/null; do
-    echo "device busy/unavailable; retry in 60s"
+print(jnp.add(1, 1), jax.devices())"; do
+    echo "device still unavailable; waiting 60s before next untimed probe"
     sleep 60
 done
 

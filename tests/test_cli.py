@@ -235,6 +235,33 @@ def test_train_qat_static_ships_scales(tmp_path):
     assert rc == 0
 
 
+def test_train_ema_qat_static_composition(tmp_path):
+    """--ema with --qat-static: the Polyak sibling also carries the frozen
+    act_scales (identical to the final checkpoint's), so BOTH artifacts
+    keep the fast static-int8 deployment path."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "qse.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
+                   "3", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32", "--qat-static",
+                   "--ema", "0.9"])
+    assert rc == 0
+    import numpy as np
+    ema_ck = str(tmp_path / "qse_ema.npz")
+    assert os.path.exists(ema_ck)
+    f, e = np.load(ck), np.load(ema_ck)
+    scale_keys = [k for k in f.files if k.startswith("act_scales/")]
+    assert scale_keys
+    for k in scale_keys:
+        assert k in e.files
+        np.testing.assert_array_equal(f[k], e[k])
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--ckpt",
+                   ema_ck, "--no-save", "--batch", "2", "--dtype", "int8",
+                   "--pad-multiple", "8"])
+    assert rc == 0
+
+
 def test_train_orbax_resume(tmp_path):
     """--orbax-dir: async step saves; a rerun resumes from the latest step
     instead of restarting (crash-recovery semantics)."""

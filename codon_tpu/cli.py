@@ -230,19 +230,21 @@ def cmd_eval(args) -> int:
         vnames = args.variant.split(",")
         variant = get_variant(vnames[0], dtypes=dtypes)
 
-        def make_ops(act_scales):
+        def make_ops(act_scales, verbose=True):
             if args.dtype != "int8":
                 return None
             if act_scales is not None:
                 from codon_tpu.quant_ops import Int8StaticOps
-                print(f"int8: static per-channel scales from checkpoint "
-                      f"({len(act_scales)} conv sites)")
+                if verbose:
+                    print(f"int8: static per-channel scales from checkpoint "
+                          f"({len(act_scales)} conv sites)")
                 return Int8StaticOps(
                     act_scales,
                     compute_dtype=variant.cfg.dtypes.compute_dtype)
             from codon_tpu.quant_ops import Int8Ops
-            print("int8: dynamic per-sample scales (checkpoint carries "
-                  "no act_scales; train --qat-static to add them)")
+            if verbose:
+                print("int8: dynamic per-sample scales (checkpoint carries "
+                      "no act_scales; train --qat-static to add them)")
             return Int8Ops()
 
         member_specs = []   # [(params, act_scales, variant)] — 1 = solo
@@ -275,7 +277,15 @@ def cmd_eval(args) -> int:
                  if isinstance(p, dict) else None, variant))
         params, act_scales, _ = member_specs[0]
         ensemble = member_specs if len(member_specs) > 1 else None
-        eval_ops = make_ops(act_scales)
+        if args.dtype == "int8" and ensemble is not None:
+            # per-member backends are built inside raw_fwd; a single
+            # make_ops banner keyed to member 0 would misdescribe the run
+            modes = ["static" if sc is not None else "dynamic"
+                     for _, sc, _ in member_specs]
+            print(f"int8: per-member scales [{', '.join(modes)}]")
+            eval_ops = None
+        else:
+            eval_ops = make_ops(act_scales)
         names = discover_pairs(scale_dir)
         print(f"eval x{args.scale}: {len(names)} images from {scale_dir} "
               f"[{args.dtype}, batch={args.batch}, variant={args.variant}]")
@@ -306,37 +316,50 @@ def cmd_eval(args) -> int:
         if dp > 1 or sp > 1:
             from codon_tpu.parallel.tiling import make_tiled_forward
 
-            def make_mesh_fwd(sc, mv):
+            def make_mesh_fwd(static, mv):
                 # tiled/dp int8 keeps the quantized path (round-1 bug:
-                # the mesh branch silently fell back to bf16)
+                # the mesh branch silently fell back to bf16). Static
+                # scales are NOT closed over: scales_factory rebuilds the
+                # backend from params["act_scales"] at call time, so the
+                # member's weights AND scales ride the jit as arguments
+                # and the compiled program is checkpoint-agnostic.
                 ops_factory = None
+                scales_factory = None
                 if args.dtype == "int8":
-                    if sc is not None:
-                        from codon_tpu.quant_ops import Int8StaticShardedOps
-                        cdt = mv.cfg.dtypes.compute_dtype
+                    cdt = mv.cfg.dtypes.compute_dtype
+                    if static:
+                        from codon_tpu.quant_ops import (Int8StaticOps,
+                                                         Int8StaticShardedOps)
 
-                        def ops_factory(axis_name, **kw):
-                            return Int8StaticShardedOps(sc,
-                                                        axis_name=axis_name,
-                                                        compute_dtype=cdt,
-                                                        **kw)
+                        def scales_factory(scales, axis_name, **kw):
+                            if axis_name:
+                                return Int8StaticShardedOps(
+                                    scales, axis_name=axis_name,
+                                    compute_dtype=cdt, **kw)
+                            return Int8StaticOps(scales, compute_dtype=cdt)
                     else:
                         from codon_tpu.quant_ops import Int8ShardedOps
                         ops_factory = Int8ShardedOps
-                return make_tiled_forward(mv, sp, dp,
-                                          ops_factory=ops_factory,
-                                          local_ops=make_ops(sc))
+                return make_tiled_forward(
+                    mv, sp, dp, ops_factory=ops_factory,
+                    local_ops=None if static else make_ops(None,
+                                                           verbose=False),
+                    scales_factory=scales_factory)
 
-            member_fwds = [(mp, make_mesh_fwd(sc, mv))
-                           for mp, sc, mv in member_specs]
+            int8_static = [args.dtype == "int8" and sc is not None
+                           for _, sc, _ in member_specs]
+            member_fwds = [make_mesh_fwd(st, mv) for st, (_, _, mv)
+                           in zip(int8_static, member_specs)]
+            # scales ride each member's params dict (see make_mesh_fwd)
+            params = [dict(mp, act_scales=sc) if st else mp
+                      for st, (mp, sc, _) in zip(int8_static, member_specs)]
             print(f"mesh eval: dp={dp} x sp={sp} over "
                   f"{dp * sp} devices"
                   + (f", {len(member_fwds)}-model ensemble"
                      if ensemble else ""))
 
-            def raw_fwd(p, d, c, m):
-                del p   # per-member params are baked in
-                outs = [f(mp, d, c, m) for mp, f in member_fwds]
+            def raw_fwd(plist, d, c, m):
+                outs = [f(p, d, c, m) for p, f in zip(plist, member_fwds)]
                 return sum(outs) / len(outs)
         elif ensemble is not None:
             # members ride the jit as ONE list-pytree argument (scales
@@ -547,8 +570,14 @@ def cmd_train(args) -> int:
         if not use_real:
             raise SystemExit("--mix-scales needs shipped input_depth for "
                              "the primary scale")
-        from codon_tpu.data.io import imread_gray as _ig
-        added = 0
+        if getattr(args, "data_dir", None):
+            # the cross-scale dirs are derived from data_root; pooling a
+            # --data-dir override's labels with data_root's degradations
+            # would silently mix datasets on any name collision
+            raise SystemExit("--mix-scales derives the other-scale dirs "
+                             "from --data-root and cannot be combined "
+                             "with a --data-dir override")
+        added, skipped = 0, 0
         for s in (4, 8, 16):
             if s == args.scale:
                 continue
@@ -556,15 +585,18 @@ def cmd_train(args) -> int:
             for i, n in enumerate(names):
                 dpath = os.path.join(sdir, "input_depth", n + ".png")
                 if os.path.exists(dpath):
-                    deg = _ig(dpath)
+                    deg = imread_gray(dpath)
                     if deg.shape != labels[i].shape:
+                        skipped += 1
                         continue
                     labels.append(labels[i])
                     colors.append(colors[i])
                     degraded.append(deg)
                     added += 1
         print(f"mix-scales: +{added} shipped degradation pairs from the "
-              f"other scale dirs")
+              f"other scale dirs"
+              + (f" ({skipped} skipped: shape mismatch vs primary label)"
+                 if skipped else ""))
     print(f"train x{args.scale}: {len(labels)} source images, "
           f"patch={args.patch} batch={args.batch} steps={args.steps} "
           f"[{'shipped input_depth' if use_real else 'synthesized'} "
@@ -652,9 +684,22 @@ def cmd_train(args) -> int:
             import numpy as _np
             # `like` restores straight into the live structures (optax
             # NamedTuples included) instead of generic nested dicts
-            tree = mgr.restore(latest, like={
-                "params": params, "opt_state": opt_state,
-                "step": _np.zeros((), _np.int64)})
+            try:
+                tree = mgr.restore(latest, like={
+                    "params": params, "opt_state": opt_state,
+                    "step": _np.zeros((), _np.int64)})
+            except Exception as e:
+                # most common cause: the checkpoint was written by a
+                # different optimizer-chain layout (e.g. pre/post the
+                # adamw decay-ordering fix, or a changed --weight-decay),
+                # whose opt_state pytree no longer matches `like`
+                raise SystemExit(
+                    f"orbax: cannot restore step {latest} from "
+                    f"{args.orbax_dir}: {e}\nThe saved opt_state tree "
+                    f"must match the CURRENT optimizer chain — resume "
+                    f"with the same flags/version that wrote it, or "
+                    f"start a fresh --orbax-dir (warm-start weights via "
+                    f"--ckpt-in instead).")
             params = device_tree(tree["params"])
             opt_state = device_tree(tree["opt_state"])
             start_step = int(tree["step"])

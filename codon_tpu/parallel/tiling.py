@@ -31,7 +31,7 @@ from codon_tpu.parallel.ops import ShardedOps
 def make_sharded_forward(variant, mesh: Mesh, batch_axis: Optional[str] = "dp",
                          spatial_axis: Optional[str] = "sp",
                          jit_compile: bool = True, ops_factory=None,
-                         local_ops=None):
+                         local_ops=None, scales_factory=None):
     """(params, depth, color, mask) -> out, sharded over `mesh`.
 
     mask is REQUIRED here (pass ones): specs are static over the pytree.
@@ -42,6 +42,13 @@ def make_sharded_forward(variant, mesh: Mesh, batch_axis: Optional[str] = "dp",
     local_ops is the Ops instance used when spatial_axis is None (pure dp
     replicates the whole image per shard, so a plain single-device backend
     such as quant_ops.Int8Ops is correct there).
+    scales_factory(act_scales, spatial_axis_or_None, acc_dtype=...,
+    precision=...) builds a static-int8 backend from scales found under
+    params["act_scales"] AT CALL TIME: the scales then ride the params
+    pytree as jit arguments instead of closure constants, so the compiled
+    program is shared by every checkpoint of the same shape family (the
+    remote compile service makes baked-constant programs minutes per
+    checkpoint — same discipline as the single-device eval path).
     """
     dt = variant.cfg.dtypes
     if spatial_axis:
@@ -52,7 +59,14 @@ def make_sharded_forward(variant, mesh: Mesh, batch_axis: Optional[str] = "dp",
         ops = local_ops
 
     def local_fwd(params, depth, color, mask):
-        return variant.forward(params, depth, color, mask=mask, ops=ops)
+        o = ops
+        if (scales_factory is not None and isinstance(params, dict)
+                and "act_scales" in params):
+            params = dict(params)
+            o = scales_factory(params.pop("act_scales"), spatial_axis,
+                               acc_dtype=dt.acc_dtype,
+                               precision=dt.precision)
+        return variant.forward(params, depth, color, mask=mask, ops=o)
 
     img_spec = P(batch_axis, spatial_axis, None, None)
     fn = shard_map(
@@ -95,7 +109,8 @@ def tiled_infer(variant, params, depth, color, mask=None, mesh=None,
 
 
 def make_tiled_forward(variant, n_devices: int, dp_devices: int = 1,
-                       ops_factory=None, local_ops=None):
+                       ops_factory=None, local_ops=None,
+                       scales_factory=None):
     """CLI hook: fwd(params, depth, color, mask) over a dp x sp mesh.
 
     n_devices shards the image H axis (sp, spatial tiling); dp_devices
@@ -112,7 +127,8 @@ def make_tiled_forward(variant, n_devices: int, dp_devices: int = 1,
         variant, mesh,
         batch_axis="dp" if dp > 1 else None,
         spatial_axis="sp" if sp > 1 else None,
-        ops_factory=ops_factory, local_ops=local_ops)
+        ops_factory=ops_factory, local_ops=local_ops,
+        scales_factory=scales_factory)
 
     def run(params, depth, color, mask):
         B, H, Wd, _ = depth.shape

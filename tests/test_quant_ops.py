@@ -181,6 +181,35 @@ def test_static_tiled_matches_untiled():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
 
 
+def test_static_tiled_scales_as_arguments():
+    """scales_factory contract: act_scales ride params["act_scales"] as a
+    CALL-TIME argument, so ONE compiled mesh program serves different
+    checkpoints (weights+scales both jit args — the checkpoint-agnostic
+    compile discipline of the single-device eval path). Verified by
+    running two different (params, scales) pairs through the same fwd and
+    matching each against its own untiled Int8StaticOps reference."""
+    from codon_tpu.parallel.tiling import make_tiled_forward
+    from codon_tpu.quant_ops import Int8StaticOps, Int8StaticShardedOps
+    v = get_variant("codon")
+    d, c = _data(5, B=2, H=48, W=17)
+    mask = jnp.ones_like(d)
+
+    def scales_factory(scales, axis_name, **kw):
+        if axis_name:
+            return Int8StaticShardedOps(scales, axis_name=axis_name, **kw)
+        return Int8StaticOps(scales)
+
+    fwd = make_tiled_forward(v, 4, 1, scales_factory=scales_factory)
+    for seed, gain in ((4, 0.5), (9, 0.3)):
+        params = jax.tree.map(lambda w: w * gain,
+                              v.init(jax.random.PRNGKey(seed)))
+        scales = _calibrated(v, params, [(d, c, mask)])
+        ref = np.asarray(v.forward(params, d, c, mask=mask,
+                                   ops=Int8StaticOps(scales)))
+        out = np.asarray(fwd(dict(params, act_scales=scales), d, c, mask))
+        np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
 def test_qat_static_step_trains():
     """Weights keep training on the frozen static grid (clipped STE)."""
     from codon_tpu.quant_ops import FakeQuantStaticOps

@@ -440,9 +440,21 @@ def cmd_eval(args) -> int:
             from codon_tpu.metrics.ondevice import make_batch_evaluator
             # threads the TTA wrapper and the quantized Ops backend into
             # the fused evaluator (round-2 advisor: the combination used
-            # to silently score the plain bf16 forward)
+            # to silently score the plain bf16 forward). Static scales go
+            # in via scales_to_ops + params["act_scales"] (already
+            # embedded by the int8-static branch above) so the compiled
+            # evaluator is checkpoint-agnostic like the main path.
+            scales_to_ops = None
+            if args.dtype == "int8" and act_scales is not None:
+                from codon_tpu.quant_ops import Int8StaticOps
+                _cdt = variant.cfg.dtypes.compute_dtype
+
+                def scales_to_ops(sc):
+                    return Int8StaticOps(sc, compute_dtype=_cdt)
             evaluator = make_batch_evaluator(
-                variant, tta=tta_n, ops=eval_ops)
+                variant, tta=tta_n,
+                ops=None if scales_to_ops is not None else eval_ops,
+                scales_to_ops=scales_to_ops)
 
         rmse_sum = ssim_sum = 0.0
         per_image = []

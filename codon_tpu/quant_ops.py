@@ -69,6 +69,16 @@ def _x_scale(x):
                        1e-8) / 127.0
 
 
+def _gathered_sample_scale(x, axis_name):
+    """Per-sample dynamic scale all-reduced over the sharded H axis: every
+    shard quantizes with the SAME scale (the (N,1,1,1) local maxes are a
+    tiny all_gather)."""
+    local = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+    g = lax.all_gather(local, axis_name)
+    return (jnp.maximum(jnp.max(g, axis=0), 1e-8) / 127.0).astype(
+        jnp.float32)
+
+
 def _int8_conv(x, w, *, padding, groups, sx):
     """int8 x int8 MXU conv with fused dequant epilogue.
 
@@ -111,12 +121,16 @@ class FakeQuantOps(XlaOps):
                                   groups=groups)
 
         def fq(t, s):
-            q = jnp.clip(jnp.round(t / s), -127, 127) * s
-            return t + lax.stop_gradient(q - t.astype(q.dtype)).astype(
-                t.dtype)
+            # f32 quotient, matching deployment: _int8_conv rounds
+            # t.astype(f32) / s — a bf16 quotient (spacing 0.5 in the top
+            # octave of the grid) would round a measurable fraction of
+            # values to a DIFFERENT int8 code than inference uses
+            q = (jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
+                 * s).astype(t.dtype)
+            return t + lax.stop_gradient(q - t)
 
-        xq = fq(x, _x_scale(x).astype(x.dtype))
-        wq = fq(w, _w_scales(w)[None, None, None, :].astype(w.dtype))
+        xq = fq(x, _x_scale(x).astype(jnp.float32))
+        wq = fq(w, _w_scales(w)[None, None, None, :].astype(jnp.float32))
         out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
                           precision=self.precision)
         return self.apply_mask(out, mask)
@@ -154,13 +168,10 @@ class Int8ShardedOps(ShardedOps):
                                   groups=groups)
         kh, kw = w.shape[0], w.shape[1]
         xh = _halo_exchange_h(x, (kh - 1) // 2, self.axis_name)
-        local = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
-        g = lax.all_gather(local, self.axis_name)
-        sx = (jnp.maximum(jnp.max(g, axis=0), 1e-8) / 127.0).astype(
-            jnp.float32)
         out = _int8_conv(xh, w,
                          padding=((0, 0), ((kw - 1) // 2,) * 2),
-                         groups=groups, sx=sx)
+                         groups=groups,
+                         sx=_gathered_sample_scale(x, self.axis_name))
         return self.apply_mask(out, mask)
 
 
@@ -215,7 +226,42 @@ def quantize_static(x, sc):
                     -127, 127).astype(jnp.int8)
 
 
-class Int8StaticOps(XlaOps):
+class _StaticHandoffMixin:
+    """precommit/roundtrip for the static-scale backends — ONE copy shared
+    by Int8StaticOps and Int8StaticShardedOps: static grids are
+    position-independent, so the handoffs need no collective even under
+    spatial sharding."""
+
+    def precommit(self, x, name=None):
+        """Stage-boundary handoff: store the tensor AS int8 on the
+        consuming site's grid. Kills the float intermediate's HBM
+        round-trip (the consuming conv2d would quantize with the SAME
+        scale, so results are bitwise identical). Idempotent on already-
+        committed int8 input."""
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None or x.dtype == jnp.int8:
+            return x
+        return quantize_static(x, sc)
+
+    def roundtrip(self, x, name=None):
+        """Elementwise-consumer handoff (CAC gate inputs, stem outputs):
+        materialize int8, dequant inline — consumers read 1-byte HBM and
+        fuse the per-channel dequant into their own pass. Inactive (site
+        absent from act_scales) on checkpoints calibrated before the
+        handoff existed, keeping their numerics bit-stable."""
+        if x.dtype == jnp.int8:
+            raise ValueError(
+                f"roundtrip({name!r}): int8 input — roundtrip sites are "
+                f"float-in/float-out; an int8 tensor here means a "
+                f"precommit was misrouted to an elementwise consumer")
+        sc = _site_scale(self.act_scales, name, 1)
+        if sc is None:
+            return x
+        q = quantize_static(x, sc)
+        return (q.astype(jnp.float32) * sc).astype(x.dtype)
+
+
+class Int8StaticOps(_StaticHandoffMixin, XlaOps):
     """Inference backend: int8 MXU convs with static per-channel scales.
 
     `act_scales`: {site_name: (C_in,) f32} from `calibrate_act_scales`.
@@ -233,28 +279,6 @@ class Int8StaticOps(XlaOps):
         # compute dtype
         self.compute_dtype = compute_dtype
 
-    def precommit(self, x, name=None):
-        """Stage-boundary handoff: store the tensor AS int8 on the
-        consuming site's grid. Kills the float intermediate's HBM
-        round-trip (the consuming conv2d would quantize with the SAME
-        scale, so results are bitwise identical)."""
-        sc = _site_scale(self.act_scales, name, 1)
-        if sc is None or x.dtype == jnp.int8:
-            return x
-        return quantize_static(x, sc)
-
-    def roundtrip(self, x, name=None):
-        """Elementwise-consumer handoff (CAC gate inputs, stem outputs):
-        materialize int8, dequant inline — consumers read 1-byte HBM and
-        fuse the per-channel dequant into their own pass. Inactive (site
-        absent from act_scales) on checkpoints calibrated before the
-        handoff existed, keeping their numerics bit-stable."""
-        sc = _site_scale(self.act_scales, name, 1)
-        if sc is None or x.dtype == jnp.int8:
-            return x
-        q = quantize_static(x, sc)
-        return (q.astype(jnp.float32) * sc).astype(x.dtype)
-
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         if _skip_quant(w):
@@ -262,8 +286,9 @@ class Int8StaticOps(XlaOps):
                                   groups=groups)
         sc = _site_scale(self.act_scales, name, groups)
         if sc is None:
-            assert x.dtype != jnp.int8, (
-                f"pre-quantized input at uncalibrated site {name!r}")
+            if x.dtype == jnp.int8:
+                raise ValueError(
+                    f"pre-quantized input at uncalibrated site {name!r}")
             out = _int8_conv(x, w, padding=padding, groups=groups,
                              sx=_x_scale(x).astype(jnp.float32))
             return self.apply_mask(out, mask)
@@ -280,7 +305,7 @@ class Int8StaticOps(XlaOps):
         return self.apply_mask(acc * sw.astype(out_dt), mask)
 
 
-class Int8StaticShardedOps(ShardedOps):
+class Int8StaticShardedOps(_StaticHandoffMixin, ShardedOps):
     """Spatially-tiled static int8.
 
     Static scales are position-independent, so no collective is needed at
@@ -301,21 +326,6 @@ class Int8StaticShardedOps(ShardedOps):
                            for k, v in act_scales.items()}
         self.compute_dtype = compute_dtype
 
-    def precommit(self, x, name=None):
-        sc = _site_scale(self.act_scales, name, 1)
-        if sc is None or x.dtype == jnp.int8:
-            return x
-        return quantize_static(x, sc)
-
-    def roundtrip(self, x, name=None):
-        # static grids are position-independent: identical on every shard,
-        # no collective (see class docstring)
-        sc = _site_scale(self.act_scales, name, 1)
-        if sc is None or x.dtype == jnp.int8:
-            return x
-        q = quantize_static(x, sc)
-        return (q.astype(jnp.float32) * sc).astype(x.dtype)
-
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         if _skip_quant(w):
@@ -325,13 +335,11 @@ class Int8StaticShardedOps(ShardedOps):
         sc = _site_scale(self.act_scales, name, groups)
         wpad = ((0, 0), ((kw - 1) // 2,) * 2)
         if sc is None:
-            assert x.dtype != jnp.int8, (
-                f"pre-quantized input at uncalibrated site {name!r}")
+            if x.dtype == jnp.int8:
+                raise ValueError(
+                    f"pre-quantized input at uncalibrated site {name!r}")
             xh = _halo_exchange_h(x, (kh - 1) // 2, self.axis_name)
-            local = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
-            g = lax.all_gather(local, self.axis_name)
-            sx = (jnp.maximum(jnp.max(g, axis=0), 1e-8) / 127.0).astype(
-                jnp.float32)
+            sx = _gathered_sample_scale(x, self.axis_name)
             out = _int8_conv(xh, w, padding=wpad, groups=groups, sx=sx)
             return self.apply_mask(out, mask)
         if x.dtype == jnp.int8:
@@ -427,12 +435,15 @@ class CalibrationOps(XlaOps):
         super().__init__(acc_dtype=acc_dtype, precision=precision)
         self.absmax = {}
 
+    def _record(self, name, x):
+        am = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
+        prev = self.absmax.get(name)
+        self.absmax[name] = am if prev is None else jnp.maximum(prev, am)
+
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         if name is not None and groups == 1 and not _skip_quant(w):
-            am = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
-            prev = self.absmax.get(name)
-            self.absmax[name] = am if prev is None else jnp.maximum(prev, am)
+            self._record(name, x)
         return super().conv2d(x, w, padding=padding, mask=mask,
                               groups=groups)
 
@@ -441,10 +452,7 @@ class CalibrationOps(XlaOps):
         calibrations ship gate/stem grids (activating the int8 handoff
         in the static backends)."""
         if name is not None:
-            am = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
-            prev = self.absmax.get(name)
-            self.absmax[name] = am if prev is None else jnp.maximum(prev,
-                                                                    am)
+            self._record(name, x)
         return x
 
 

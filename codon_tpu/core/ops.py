@@ -72,6 +72,9 @@ class Ops:
     def global_max(self, x, mask=None):
         raise NotImplementedError
 
+    def global_sum(self, x, mask=None):
+        raise NotImplementedError
+
     def apply_mask(self, x, mask=None):
         return x if mask is None else x * mask.astype(x.dtype)
 
@@ -137,3 +140,9 @@ class XlaOps(Ops):
         neg = jnp.asarray(-jnp.inf, x.dtype)
         xm = jnp.where(mask.astype(bool), x, neg)
         return jnp.max(xm, axis=(1, 2), keepdims=True)
+
+    def global_sum(self, x, mask=None):
+        """Sum over H, W -> (N, 1, 1, C)."""
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        return jnp.sum(x, axis=(1, 2), keepdims=True)

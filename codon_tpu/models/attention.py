@@ -22,7 +22,6 @@ sharding); PAM/CAM whole-image attention is single-shard only (documented).
 """
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax
@@ -140,10 +139,20 @@ def pam(p, prefix, x, ops: Ops, mask=None):
     k = conv_p(p, f"{prefix}.key_conv", x, ops, mask).reshape(n, h * w, -1)
     v = conv_p(p, f"{prefix}.value_conv", x, ops, mask).reshape(n, h * w, c)
     energy = jnp.einsum("bic,bjc->bij", q, k)
+    if mask is not None:
+        # padded-batch exactness: invalid KEY pixels would contribute
+        # logit 0 (exp = 1) to every softmax denominator, diluting the
+        # valid attention weights relative to per-image execution
+        kmask = mask.reshape(n, 1, h * w) > 0
+        energy = jnp.where(kmask, energy,
+                           jnp.asarray(-jnp.inf, energy.dtype))
     att = jax.nn.softmax(energy, axis=-1)
     out = jnp.einsum("bij,bjc->bic", att, v).reshape(n, h, w, c)
     gamma = p[f"{prefix}.gamma"].astype(x.dtype)
-    return gamma * out + x
+    # invalid QUERY pixels attend to valid v (nonzero out) — re-mask so
+    # downstream conv stencils read zeros there, as per-image SAME
+    # padding would provide
+    return gamma * ops.apply_mask(out, mask) + x
 
 
 def cam(p, prefix, x, ops: Ops = None, mask=None):
@@ -178,8 +187,9 @@ def spatial_cgnl(p, prefix, x, ops: Ops, mask=None, groups: int = 8,
     """Compact generalized non-local (base_net_withoutBN.py:97-156). NHWC.
 
     Per group: out = (sum over pixels&channels of p*g) * t — a scalar per
-    (batch, group). The global dot rides psum under spatial sharding via
-    ops.global_avg on the elementwise product.
+    (batch, group). The global dot, the use_scale pixel count, and the
+    GroupNorm statistics all ride ops.global_sum/global_avg — psum'd
+    under spatial sharding, per-image-exact on masked padded batches.
     """
     n, h, w, c = x.shape
     t = conv_p(p, f"{prefix}.t", x, ops, mask)
@@ -187,54 +197,65 @@ def spatial_cgnl(p, prefix, x, ops: Ops, mask=None, groups: int = 8,
     g = conv_p(p, f"{prefix}.g", x, ops, mask)
     cg = t.shape[-1] // groups
 
-    # group dot: sum over (H, W, Cg) of p*g — use masked global_avg * count
-    prod = pp * g                                    # (N,H,W,planes)
-    avg = ops.global_avg(prod, mask)[:, 0, 0, :]     # (N, planes)
-    if mask is not None:
-        cnt = jnp.sum(mask.astype(avg.dtype), axis=(1, 2, 3))[:, None]
-    else:
-        cnt = jnp.asarray(float(h * w), avg.dtype)
-    s = (avg * cnt).reshape(n, groups, cg).sum(-1)   # (N, groups)
+    # group dot: GLOBAL masked sum over (H, W) per channel (psum'd under
+    # spatial sharding), then summed over the group's channels
+    s = ops.global_sum(pp * g, mask)[:, 0, 0, :]     # (N, planes)
+    s = s.reshape(n, groups, cg).sum(-1)             # (N, groups)
     if use_scale:
-        s = s / math.sqrt(cg * h * w)
+        # per-image pixel count: the masked count equals the unpadded
+        # image's h*w; under sharding the sum rides psum like the dot
+        ones = mask if mask is not None else jnp.ones((n, h, w, 1),
+                                                      s.dtype)
+        cnt = ops.global_sum(ones.astype(s.dtype))[:, 0, 0, :]  # (N, 1)
+        s = s / jnp.sqrt(jnp.asarray(float(cg), s.dtype) * cnt)
     scale = jnp.repeat(s, cg, axis=1)[:, None, None, :]  # (N,1,1,planes)
     xk = t * scale.astype(t.dtype)
 
     xk = conv_p(p, f"{prefix}.z", xk, ops, mask, groups=groups)
-    # GroupNorm over (H, W, Cg) per group — masked global stats
-    xg = xk.reshape(n, h, w, groups, c // groups)
-    m4 = mask[..., None] if mask is not None else None
-    if m4 is not None:
-        denom = jnp.sum(m4, axis=(1, 2)) * (c // groups)   # (N,1,1)
-        mean = jnp.sum(xg * m4, axis=(1, 2, 4), keepdims=True) / \
-            denom[:, None, None, :, None]
-        var = jnp.sum(((xg - mean) * m4) ** 2, axis=(1, 2, 4),
-                      keepdims=True) / denom[:, None, None, :, None]
-    else:
-        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
-    xg = (xg - mean) / jnp.sqrt(var + 1e-5)
+    # GroupNorm over (H, W, Cg) per group: global masked stats via the
+    # Ops pools (psum'd under sharding) — per-channel first, then
+    # averaged over each group's channels (every channel of a group
+    # shares the same valid-pixel count, so the two-level mean is exact)
+    cgz = c // groups
+    mean_c = ops.global_avg(xk, mask)                       # (N,1,1,C)
+    gmean = mean_c.reshape(n, 1, 1, groups, cgz).mean(-1, keepdims=True)
+    mean_b = jnp.broadcast_to(gmean, (n, 1, 1, groups, cgz)
+                              ).reshape(n, 1, 1, c)
+    var_c = ops.global_avg((xk - mean_b) ** 2, mask)        # (N,1,1,C)
+    gvar = var_c.reshape(n, 1, 1, groups, cgz).mean(-1, keepdims=True)
+    xg = xk.reshape(n, h, w, groups, cgz)
+    xg = (xg - gmean) / jnp.sqrt(gvar + 1e-5)
     xk = xg.reshape(n, h, w, c)
     gam = p[f"{prefix}.gn.weight"].astype(xk.dtype)
     bet = p[f"{prefix}.gn.bias"].astype(xk.dtype)
-    return xk * gam + bet + x
+    # re-mask the normalized+affine tensor: invalid pixels would otherwise
+    # carry (0-mean)/std*gam+bet != 0 into downstream conv stencils
+    return ops.apply_mask(xk * gam + bet, mask) + x
 
 
 def nonlocal_bn(p, prefix, x, ops: Ops, mask=None, use_scale: bool = True):
-    """NonLocalBlock2D_BN: whole-tensor scalar attention + eval-mode BN."""
+    """NonLocalBlock2D_BN: whole-tensor scalar attention + eval-mode BN.
+
+    The scalar dot and the pixel count ride ops.global_sum, so the block
+    is exact under spatial sharding (psum) and on masked padded batches
+    (per-image count; the eval-mode BN affine is re-masked because it
+    maps the padding's zeros to (0-rm)/std*wt+bs != 0)."""
     n, h, w, c = x.shape
     t = conv_p(p, f"{prefix}.t", x, ops, mask)
     pp = conv_p(p, f"{prefix}.p", x, ops, mask)
     g = conv_p(p, f"{prefix}.g", x, ops, mask)
     cp = t.shape[-1]
-    att = jnp.sum((pp * g).reshape(n, -1), axis=-1)[:, None, None, None]
+    att = jnp.sum(ops.global_sum(pp * g, mask), axis=-1, keepdims=True)
     if use_scale:
-        att = att / math.sqrt(cp * h * w)
+        ones = mask if mask is not None else jnp.ones((n, h, w, 1),
+                                                      att.dtype)
+        cnt = ops.global_sum(ones.astype(att.dtype))     # (N,1,1,1)
+        att = att / jnp.sqrt(jnp.asarray(float(cp), att.dtype) * cnt)
     xk = conv_p(p, f"{prefix}.z", att.astype(t.dtype) * t, ops, mask)
     # BatchNorm2d, eval mode (running stats)
     rm = p[f"{prefix}.bn4.running_mean"].astype(xk.dtype)
     rv = p[f"{prefix}.bn4.running_var"].astype(xk.dtype)
     wt = p[f"{prefix}.bn4.weight"].astype(xk.dtype)
     bs = p[f"{prefix}.bn4.bias"].astype(xk.dtype)
-    xk = (xk - rm) / jnp.sqrt(rv + 1e-5) * wt + bs
+    xk = ops.apply_mask((xk - rm) / jnp.sqrt(rv + 1e-5) * wt + bs, mask)
     return xk + x

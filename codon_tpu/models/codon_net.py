@@ -467,7 +467,20 @@ def codon_forward_fused(params, depth, color, *,
 
     Weight packing happens at trace time from the SAME parameter pytree, so
     checkpoints are interchangeable between the two forwards.
+
+    Limits: the grouped convs carry no site names, so the static-int8
+    family has nothing to key scales on — this forward runs float (or
+    dynamic int8) only; the shipping int8-static path uses
+    `codon_forward` with packed cells, which was also measured FASTER
+    than this merged-tower lowering on v5e (grouped 4W convs tile worse
+    on the MXU than the packed C->2C cells). Kept as the reference-shaped
+    ablation point. `color_cat_swapped` is not lowered here (the cell
+    concat order is hardcoded) and raises.
     """
+    if cfg.color_cat_swapped:
+        raise NotImplementedError(
+            "codon_forward_fused hardcodes the cell concat order; use "
+            "codon_forward for color_cat_swapped configs")
     if ops is None:
         ops = XlaOps(acc_dtype=cfg.dtypes.acc_dtype,
                      precision=cfg.dtypes.precision)
@@ -550,6 +563,11 @@ def sequential_tower_forward(params, depth, color, *,
     relu = jax.nn.relu
     cdt = cfg.dtypes.compute_dtype
     x, y = depth.astype(cdt), color.astype(cdt)
+    if mask is not None:
+        mask = mask.astype(cdt)
+        x = x * mask
+        y = y * mask
+
     def conv(n, t, site=None):
         if isinstance(n, str):
             wk, site = params[n], n

@@ -61,6 +61,10 @@ class ShardedOps(Ops):
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
         del name
+        if padding != "SAME":
+            raise ValueError(
+                "ShardedOps.conv2d implements SAME padding only (halo "
+                f"exchange reproduces it at shard seams); got {padding!r}")
         kh = w.shape[0]
         halo = (kh - 1) // 2
         xh = _halo_exchange_h(x, halo, self.axis_name)
@@ -94,3 +98,9 @@ class ShardedOps(Ops):
         # and the gathered stats are tiny — (n_dev, N, 1, 1, C).
         g = lax.all_gather(m, self.axis_name)
         return jnp.max(g, axis=0)
+
+    def global_sum(self, x, mask=None):
+        if mask is not None:
+            x = x * mask.astype(x.dtype)
+        return lax.psum(jnp.sum(x, axis=(1, 2), keepdims=True),
+                        self.axis_name)

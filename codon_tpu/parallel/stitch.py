@@ -10,8 +10,10 @@ Two large-frame strategies exist in codon_tpu:
     sequentially on one device, center-cropped and stitched. The CAC
     channel gates see per-tile (not global) pooled statistics — the only
     source of divergence, bounded in tests; conv stencils are exact given
-    `halo` >= the receptive-field radius (37 px for CODONNet: stems 2 +
-    5 stages x ~6 + fusion 15 — see SURVEY.md §5 'long-context' row).
+    `halo` >= the receptive-field radius (47 px for CODONNet: stems 1+1,
+    per MC stage 2 (cell 5x5) + 2 (conv3/6 5x5) + 2 (CAC spatial 5x5) = 6
+    over 5 stages, fusion 1 (conv7) + 3 x 4 (conv8||9 + conv10) + 1
+    (conv11) + 1 (output) = 15 — see SURVEY.md §5 'long-context' row).
 
 This replaces nothing in the reference (it ran whole frames, batch=1,
 CODON_X4/test.py:122-125) — it is the capability that lets one chip
@@ -24,7 +26,7 @@ import numpy as np
 import jax
 
 
-DEFAULT_HALO = 48  # > CODONNet receptive-field radius (~37 px)
+DEFAULT_HALO = 48  # >= CODONNet stencil receptive-field radius (47 px)
 
 
 def tile_stitch_infer(variant, params, depth, color, *, tile_h: int = 512,
@@ -36,7 +38,12 @@ def tile_stitch_infer(variant, params, depth, color, *, tile_h: int = 512,
     function across calls.
     """
     _, H, W, _ = depth.shape
-    if H <= tile_h:
+    want = tile_h + 2 * halo
+    if H <= want:
+        # a frame no taller than one padded tile runs whole (exact): the
+        # tiled path would append unmasked zero rows to reach `want`,
+        # contaminating the CAC global pooled statistics, and every tile
+        # would span the frame anyway
         f = fwd or jax.jit(lambda p, d, c: variant.forward(p, d, c))
         return np.asarray(f(params, depth, color))
 
@@ -49,19 +56,15 @@ def tile_stitch_infer(variant, params, depth, color, *, tile_h: int = 512,
         y1 = min(y + tile_h, H)
         top = max(0, y - halo)
         bot = min(H, y1 + halo)
-        # keep the padded tile shape constant -> one XLA compile
-        want = tile_h + 2 * halo
+        # keep the tile shape constant -> one XLA compile; H > want
+        # guarantees a full-height window of real rows always fits
         if bot - top < want:
             if top == 0:
-                bot = min(H, top + want)
+                bot = top + want
             else:
-                top = max(0, bot - want)
+                top = bot - want
         d_t = depth[:, top:bot]
         c_t = color[:, top:bot]
-        pad = want - d_t.shape[1]
-        if pad > 0:  # frame shorter than one padded tile
-            d_t = np.pad(d_t, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            c_t = np.pad(c_t, ((0, 0), (0, pad), (0, 0), (0, 0)))
         o_t = np.asarray(fwd(params, d_t, c_t))
         out[:, y:y1] = o_t[:, y - top:y1 - top]
         y = y1

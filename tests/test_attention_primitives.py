@@ -96,3 +96,92 @@ def test_nonlocal_bn():
     p = generic_state_dict_to_flat(sd)
     out = np.asarray(A.nonlocal_bn(p, "m", x, OPS))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# masked padded-batch exactness + sharded exactness (all convs here are 1x1,
+# so zero padding + mask must reproduce per-image execution EXACTLY, and the
+# global reductions must psum under spatial sharding — core/ops.py contract)
+# ---------------------------------------------------------------------------
+
+def _rand_flat(module, seed, scale=0.2):
+    """Random full-magnitude params for a torch module, as flat HWIO dict."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for k, v in module.state_dict().items():
+        if not v.dtype.is_floating_point:       # e.g. num_batches_tracked
+            sd[f"m.{k}"] = v
+            continue
+        a = (rng.standard_normal(tuple(v.shape)) * scale).astype(np.float32)
+        if k.endswith("running_var"):
+            a = np.abs(a) + 0.5
+        sd[f"m.{k}"] = torch.from_numpy(a)
+    return generic_state_dict_to_flat(sd)
+
+
+def _cgnl_params(seed=11):
+    return _rand_flat(base_net.SpatialCGNL(16, 8, use_scale=False, groups=4),
+                      seed)
+
+
+def _nl_params(seed=12):
+    return _rand_flat(base_net.NonLocalBlock2D_BN(16, 8), seed)
+
+
+_PRIMS = {
+    "pam": lambda p, x, ops, m: A.pam(p, "m", x, ops, m),
+    "cgnl": lambda p, x, ops, m: A.spatial_cgnl(p, "m", x, ops, m,
+                                                groups=4, use_scale=True),
+    "nonlocal": lambda p, x, ops, m: A.nonlocal_bn(p, "m", x, ops, m),
+}
+
+
+def _prim_params(name):
+    if name == "pam":
+        return _rand_flat(base_net.PAM_Module(16), 10)
+    return _cgnl_params() if name == "cgnl" else _nl_params()
+
+
+@pytest.mark.parametrize("name", sorted(_PRIMS))
+def test_primitive_masked_padding_exact(name):
+    """Padded batch + mask == per-image execution on the valid region, and
+    exact zeros on the padding (so downstream conv stencils see what SAME
+    padding of the unpadded image would provide)."""
+    p = _prim_params(name)
+    x1 = _x(16, 7)[0:1]                                  # (1, H, W, 16)
+    ref = np.asarray(_PRIMS[name](p, x1, OPS, None))
+    xp = np.zeros((1, H + 3, W + 2, 16), np.float32)
+    xp[:, :H, :W] = x1
+    m = np.zeros((1, H + 3, W + 2, 1), np.float32)
+    m[:, :H, :W] = 1.0
+    out = np.asarray(_PRIMS[name](p, xp, OPS, m))
+    np.testing.assert_allclose(out[:, :H, :W], ref, atol=2e-5, rtol=1e-4)
+    assert np.all(out[:, H:] == 0.0) and np.all(out[:, :, W:] == 0.0)
+
+
+@pytest.mark.parametrize("name", ["cgnl", "nonlocal"])
+def test_primitive_sharded_matches_single(name):
+    """spatial_cgnl / nonlocal_bn inside shard_map (H sharded over 4
+    devices) match single-device execution: the scalar dots, pixel counts,
+    and GroupNorm statistics all ride psum'd Ops reductions."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from codon_tpu.parallel.mesh import make_mesh
+    from codon_tpu.parallel.ops import ShardedOps
+    from codon_tpu.parallel.tiling import shard_map
+
+    p = _prim_params(name)
+    x = _x(16, 8)[:, :8]                                  # (N, 8, W, 16)
+    m = np.ones((x.shape[0], 8, W, 1), np.float32)
+    m[1:, -3:] = 0.0                                      # ragged batch
+    ref = np.asarray(_PRIMS[name](p, x, OPS, m))
+
+    mesh = make_mesh([1, 4])
+    sops = ShardedOps("sp")
+    spec = P(None, "sp", None, None)
+    fn = shard_map(lambda pp, xx, mm: _PRIMS[name](pp, xx, sops, mm),
+                   mesh=mesh, in_specs=(P(), spec, spec), out_specs=spec,
+                   check_vma=False)
+    out = np.asarray(jax.jit(fn)(p, x, m))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

@@ -22,7 +22,10 @@ def _flatten(tree, prefix=""):
 
 
 def save_npz(path: str, params) -> None:
-    np.savez(path, **_flatten(params))
+    # write to the EXACT path given: np.savez(path_str) silently appends
+    # ".npz" for extensionless paths, which load_npz would then not find
+    with open(path, "wb") as f:
+        np.savez(f, **_flatten(params))
 
 
 def load_npz(path: str):

@@ -69,8 +69,13 @@ def make_batch(samples: Sequence[Sample], pad_multiple: int = 32,
         mask[i, :h, :w, 0] = 1.0
         if have_labels:
             lh, lw = s.label.shape
-            label[i, :min(h, lh), :min(w, lw), 0] = \
-                s.label[:h, :w].astype(np.float32)
+            if (lh, lw) != (h, w):
+                # a silently clipped label would leave mask=1 over rows
+                # with label 0.0 — the on-device SSIM would score padding
+                raise ValueError(
+                    f"{s.name}: label {lh}x{lw} != depth {h}x{w} — "
+                    f"mismatched pair")
+            label[i, :h, :w, 0] = s.label.astype(np.float32)
     put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
     return Batch(
         names=[s.name for s in samples[:real]],
@@ -154,25 +159,50 @@ def batched_loader(scale_dir: str, names: Sequence[str], batch_size: int = 1,
                   for i in range(0, len(names), batch_size)]
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     _SENTINEL = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # timed put: if the consumer abandons the generator, the worker
+        # observes `stop` instead of blocking forever on a full queue
+        # (which would pin `prefetch` device-resident batches for the
+        # process lifetime)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for chunk in chunks:
+                if stop.is_set():
+                    return
                 samples = [load_sample(scale_dir, n, with_label)
                            for n in chunk]
-                q.put(make_batch(samples, pad_multiple, device,
-                                 target_batch=batch_size,
-                                 fixed_hw=fixed_hw))
-            q.put(_SENTINEL)
+                if not _put(make_batch(samples, pad_multiple, device,
+                                       target_batch=batch_size,
+                                       fixed_hw=fixed_hw)):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # surface decode errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -226,7 +226,6 @@ def unrolled_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
     residual = x
     out_d = relu(c("conv_input", relu(c("input", x))))
     out_c = relu(c("conv_inputc", relu(c("input_c", y))))
-    inputs_d, inputs_c = out_d, out_c
 
     if stage_gate is None:
         for i in range(1, 11):
@@ -291,19 +290,9 @@ def unrolled_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,
     return (c("output", out) + residual).astype(jnp.float32)
 
 
-def _cac_half_gate(p, prefix, fcat, ops, mask):
-    """wechat_guide.ChannelGate == CAC_channel: 128-cat -> 64-wide scale."""
-    def pools(kind):
-        parts = fcat if isinstance(fcat, tuple) else (fcat,)
-        f = ops.global_avg if kind == "avg" else ops.global_max
-        vs = [f(t, mask)[:, 0, 0, :] for t in parts]
-        return jnp.concatenate(vs, -1) if len(vs) > 1 else vs[0]
-    att = None
-    for kind in ("avg", "max"):
-        v = jax.nn.relu(A.linear_p(p, f"{prefix}.mlp.1", pools(kind)))
-        v = A.linear_p(p, f"{prefix}.mlp.3", v)
-        att = v if att is None else att + v
-    return jax.nn.sigmoid(att)[:, None, None, :]
+# wechat_guide.ChannelGate == CAC_channel (128-cat -> 64-wide scale) is
+# exactly attention.channel_gate_scale; keep ONE implementation
+_cac_half_gate = A.channel_gate_scale
 
 
 def mc_forward(p, depth, color, *, dtypes=FP32, ops=None, mask=None,

@@ -59,6 +59,16 @@ class PatchSampler:
     def __post_init__(self):
         import cv2
         assert len(self.labels) == len(self.colors)
+        small = [i for i, l in enumerate(self.labels)
+                 if min(l.shape) < self.patch]
+        if small:
+            # a base image narrower than the patch would broadcast-crash
+            # inside sample() with an opaque shape error
+            shapes = [self.labels[i].shape for i in small[:3]]
+            raise ValueError(
+                f"{len(small)} source image(s) smaller than patch="
+                f"{self.patch} (e.g. {shapes}); shrink --patch or drop "
+                f"them")
         self._rng = np.random.RandomState(self.seed)
         if self.degraded is not None:
             assert len(self.degraded) == len(self.labels)
@@ -177,8 +187,14 @@ class PrefetchSampler:
         self._t.start()
 
     def sample(self) -> dict:
+        if getattr(self, "_failed", None) is not None:
+            # sticky: the worker exited after its error — a second
+            # sample() would otherwise block forever on the dead queue
+            raise RuntimeError(
+                "PrefetchSampler worker thread failed") from self._failed
         item = self._q.get()
         if isinstance(item, _WorkerError):
+            self._failed = item.exc
             raise RuntimeError(
                 "PrefetchSampler worker thread failed") from item.exc
         return item

@@ -55,6 +55,12 @@ def make_optimizer(cfg: TrainConfig):
             warmup_steps=cfg.warmup_steps,
             decay_steps=cfg.total_steps,
             end_value=cfg.learning_rate * cfg.end_lr_ratio)
+    elif cfg.warmup_steps > 0:
+        # no total_steps -> warmup to peak, then constant (silently
+        # dropping an explicitly-requested warmup invites divergence at
+        # full peak LR from step 0)
+        lr = optax.linear_schedule(cfg.learning_rate * 0.01,
+                                   cfg.learning_rate, cfg.warmup_steps)
     else:
         lr = cfg.learning_rate
     parts.append(optax.scale_by_adam())
@@ -81,6 +87,12 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
     tx = make_optimizer(cfg)
 
     if mesh is not None:
+        if ops is not None:
+            # the fake-quant backends are single-device semantics; a mesh
+            # forward would silently train the plain float path instead
+            raise NotImplementedError(
+                "make_train_step: ops overrides (QAT) are single-device "
+                "only — drop mesh or train QAT without one")
         fwd = make_sharded_forward(variant, mesh, jit_compile=False)
     else:
         def fwd(params, depth, color, mask):
@@ -94,8 +106,11 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
         denom = jnp.sum(m)
         if cfg.loss == "l2":
             loss = jnp.sum(err * err) / denom
-        else:
+        elif cfg.loss == "l1":
             loss = jnp.sum(jnp.abs(err)) / denom
+        else:
+            raise ValueError(f"TrainConfig.loss must be 'l1' or 'l2', "
+                             f"got {cfg.loss!r}")
         return loss
 
     def step_fn(params, opt_state, batch):

@@ -210,7 +210,7 @@ def _load_params(args, variant):
 
 def cmd_eval(args) -> int:
     import jax
-    from codon_tpu.core.params import BF16, FP16, FP32
+    from codon_tpu.core.params import DTYPE_POLICIES
     from codon_tpu.data.io import discover_pairs, imwrite_gray
     from codon_tpu.data.pipeline import batched_loader
     from codon_tpu.metrics import masked_rmse, ssim_exact
@@ -225,8 +225,7 @@ def cmd_eval(args) -> int:
         log_ctx.__enter__()
     try:
         scale_dir = _scale_dir(args)
-        dtypes = {"bf16": BF16, "fp32": FP32, "fp16": FP16,
-                  "int8": BF16}[args.dtype]
+        dtypes = DTYPE_POLICIES[args.dtype]
         vnames = args.variant.split(",")
         variant = get_variant(vnames[0], dtypes=dtypes)
 
@@ -299,12 +298,18 @@ def cmd_eval(args) -> int:
             if not names:
                 print("resume: nothing to do")
                 if getattr(args, "json", None):
-                    # keep scripted pipelines honest: write a (trivially
-                    # complete) summary instead of leaving a stale file
+                    # keep scripted pipelines honest: write a summary with
+                    # the NORMAL schema (metric keys present, null) instead
+                    # of leaving a stale file or a key-missing stub
                     with open(args.json, "w") as f:
                         json.dump({"scale": args.scale, "images": 0,
-                                   "resumed_all": True, "per_image": []}, f,
-                                  indent=2)
+                                   "resumed_all": True,
+                                   "img_per_sec_steady": None,
+                                   "mean_rmse": None, "mean_ssim": None,
+                                   "img_per_sec_e2e": None,
+                                   "img_per_sec_compute": None,
+                                   "tta_transforms": 0,
+                                   "per_image": []}, f, indent=2)
                     print(f"metrics written to {args.json}")
                 return 0
 
@@ -466,11 +471,11 @@ def cmd_eval(args) -> int:
                                     args.pad_multiple):
             t0 = time.time()
             if evaluator is not None and batch.label_dev is not None:
-                mask = batch.mask
-                if mask is None:
-                    mask = jnp.ones_like(batch.depth)
-                stats = evaluator(params, batch.depth, batch.color, mask,
-                                  batch.label_dev)
+                # mask=None passes through: the evaluator's exact unmasked
+                # SSIM path (a fabricated all-ones mask would force the
+                # ~1e-7-off normalized-convolution branch)
+                stats = evaluator(params, batch.depth, batch.color,
+                                  batch.mask, batch.label_dev)
                 rmse_v = np.asarray(stats["rmse"])
                 ssim_v = np.asarray(stats["ssim"])
                 out = (np.asarray(stats["out_u8"])
@@ -615,10 +620,8 @@ def cmd_train(args) -> int:
           f"degradation]")
 
     import dataclasses
-    from codon_tpu.core.params import BF16, FP16, FP32
-    variant = get_variant(
-        args.variant,
-        dtypes={"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype])
+    from codon_tpu.core.params import DTYPE_POLICIES
+    variant = get_variant(args.variant, dtypes=DTYPE_POLICIES[args.dtype])
     if hasattr(variant.cfg, "loop_impl"):
         # scan lowering: ~5x smaller fwd+bwd HLO, much faster compiles
         variant = dataclasses.replace(
@@ -634,6 +637,9 @@ def cmd_train(args) -> int:
               "checkpoint will NOT carry them and loses the fast "
               "static-int8 path. Re-run with --qat-static to keep it.")
     qat_ops = None
+    if getattr(args, "qat_static", False) and args.qat:
+        raise SystemExit("--qat-static and --qat are mutually exclusive "
+                         "(frozen static grid vs dynamic scales); pick one")
     if getattr(args, "qat_static", False):
         if not args.ckpt_in:
             print("WARNING: --qat-static without --ckpt-in calibrates the "
@@ -646,13 +652,25 @@ def cmd_train(args) -> int:
         # calibrate on FULL frames with the eval-shaped (unrolled) forward:
         # scan would hide per-stage absmax inside the loop body, and eval
         # sees whole images, not training patches
-        cal_variant = get_variant(
-            args.variant,
-            dtypes={"bf16": BF16, "fp32": FP32, "fp16": FP16}[args.dtype])
+        cal_variant = get_variant(args.variant,
+                                  dtypes=DTYPE_POLICIES[args.dtype])
 
-        def cal_batches():
-            for b in batched_loader(scale_dir, names, 2, 32):
-                yield b.depth, b.color, b.mask
+        if use_real:
+            def cal_batches():
+                for b in batched_loader(scale_dir, names, 2, 32):
+                    yield b.depth, b.color, b.mask
+        else:
+            # synthesized-degradation datasets have no input_depth/ for
+            # batched_loader; calibrate on full frames synthesized the
+            # same way training pairs are
+            from codon_tpu.train.data import synthesize_lr
+
+            def cal_batches():
+                for lab, col in zip(labels, colors):
+                    d = synthesize_lr(lab, args.scale)
+                    yield (d.astype(np.float32)[None, ..., None] / 255.0,
+                           col.astype(np.float32)[None, ..., None] / 255.0,
+                           None)
 
         act_scales = calibrate_act_scales(
             lambda p, d, c, ops, mask: cal_variant.forward(
@@ -783,7 +801,10 @@ def cmd_golden(args) -> int:
 
     scale_dir = _scale_dir(args)
     out_dir = os.path.join(scale_dir, "output")
-    names = sorted(os.path.splitext(f)[0] for f in os.listdir(out_dir))
+    names = sorted(os.path.splitext(f)[0] for f in os.listdir(out_dir)
+                   if f.endswith(".png"))
+    if not names:
+        raise SystemExit(f"golden: no archived PNGs under {out_dir}")
     rmse_sum = ssim_sum = 0.0
     for name in names:
         out = imread_gray(os.path.join(out_dir, name + ".png"))
@@ -812,11 +833,11 @@ def cmd_convert(args) -> int:
 
 def cmd_export(args) -> int:
     from codon_tpu.checkpoint import load_npz
-    from codon_tpu.core.params import BF16, FP32
+    from codon_tpu.core.params import DTYPE_POLICIES
     from codon_tpu.models.variants import get_variant
     from codon_tpu.serve import export_forward
 
-    dtypes = {"bf16": BF16, "fp32": FP32, "int8": BF16}[args.dtype]
+    dtypes = DTYPE_POLICIES[args.dtype]
     variant = get_variant(args.variant, dtypes=dtypes)
     params = load_npz(args.ckpt)
     act_scales = (params.pop("act_scales", None)

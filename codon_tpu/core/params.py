@@ -42,6 +42,10 @@ FP32 = DTypePolicy(precision="highest")
 # numerics comparisons.
 FP16 = DTypePolicy(compute_dtype=jnp.float16)
 
+# CLI dtype-name -> policy, ONE copy (int8 execution computes its float
+# residue — gates, stems, dequant epilogues — in bf16)
+DTYPE_POLICIES = {"fp32": FP32, "bf16": BF16, "fp16": FP16, "int8": BF16}
+
 
 def conv_kernel_init(key, kh: int, kw: int, c_in: int, c_out: int,
                      dtype=jnp.float32) -> jax.Array:

@@ -19,7 +19,10 @@ def masked_rmse(label: np.ndarray, output: np.ndarray) -> float:
     label = label[: output.shape[0], : output.shape[1]]
     valid = label != 0
     err = np.where(valid, label - output, 0.0)
-    count = valid.size - (~valid).sum()
+    count = int(valid.sum())
+    if count == 0:
+        raise ValueError("masked_rmse: label has no valid (nonzero) "
+                         "pixels — a silent nan would corrupt the mean")
     return float(np.sqrt((err ** 2).sum() / count))
 
 

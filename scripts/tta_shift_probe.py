@@ -70,6 +70,10 @@ def main() -> None:
     fwd = jax.jit(make_tta_forward(base))  # standard TTA4, float out
 
     samples = [load_sample(scale_dir, n) for n in names]
+    # one dataset-wide padded shape (the cli eval pad_to_max policy): all
+    # 5 shifts x all batches reuse ONE compiled program
+    fixed_hw = (-(-max(s.depth.shape[0] for s in samples) // 32) * 32,
+                -(-max(s.depth.shape[1] for s in samples) // 32) * 32)
     # accumulate float predictions per image: {name: {shift: (h,w) float}}
     preds = {n: {} for n in names}
     for dy, dx in SHIFTS:
@@ -82,7 +86,8 @@ def main() -> None:
                 color=shift2d(s.color, dy, dx)))
         for i in range(0, len(shifted), args.batch):
             group = shifted[i:i + args.batch]
-            b = make_batch(group, target_batch=args.batch)
+            b = make_batch(group, target_batch=args.batch,
+                           fixed_hw=fixed_hw)
             out = np.asarray(fwd(params, b.depth, b.color, b.mask))
             for j, name in enumerate(b.names):
                 h, w = b.sizes[j]
@@ -92,8 +97,10 @@ def main() -> None:
 
     def score(name, pred_float):
         label = next(s.label for s in samples if s.name == name)
-        img = np.clip(pred_float, 0.0, 1.0) * 255.0
-        u8 = np.rint(img).astype(np.uint8)
+        # match the deployment quantization exactly (cli fwd_u8 truncates:
+        # (clip(out,0,1)*255).astype(uint8)) so tta4 rows here reproduce
+        # `eval --tta` JSONs and shift5 rows are what shipping would write
+        u8 = (np.clip(pred_float, 0.0, 1.0) * 255.0).astype(np.uint8)
         return (masked_rmse(label, u8), ssim_exact(label / 255, u8 / 255))
 
     rows = []

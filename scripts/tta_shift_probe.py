@@ -9,9 +9,9 @@ whether averaging over phases denoises (like flips do) or mismatches the
 learned degradation (like the pyramid/mix-scales/TTT family, all measured
 negative in ROUND3.md).
 
-Pure eval-time lever: no training, one standard TTA4 program (shifted
-inputs are just different tensors — zero extra compiles beyond the
-cached eval program).
+Pure eval-time lever: no training, ONE float-output TTA4 program shared
+by all shifts and batches (a fresh compile — the cli eval program fuses
+uint8 quantization and is a different cache entry).
 
 Usage:
   python scripts/tta_shift_probe.py --scale 4 \
@@ -72,8 +72,10 @@ def main() -> None:
     samples = [load_sample(scale_dir, n) for n in names]
     # one dataset-wide padded shape (the cli eval pad_to_max policy): all
     # 5 shifts x all batches reuse ONE compiled program
-    fixed_hw = (-(-max(s.depth.shape[0] for s in samples) // 32) * 32,
-                -(-max(s.depth.shape[1] for s in samples) // 32) * 32)
+    from codon_tpu.data.pipeline import _round_up
+    pad = 32  # cli --pad-multiple default
+    fixed_hw = (_round_up(max(s.depth.shape[0] for s in samples), pad),
+                _round_up(max(s.depth.shape[1] for s in samples), pad))
     # accumulate float predictions per image: {name: {shift: (h,w) float}}
     preds = {n: {} for n in names}
     for dy, dx in SHIFTS:
@@ -86,9 +88,15 @@ def main() -> None:
                 color=shift2d(s.color, dy, dx)))
         for i in range(0, len(shifted), args.batch):
             group = shifted[i:i + args.batch]
-            b = make_batch(group, target_batch=args.batch,
+            b = make_batch(group, pad, target_batch=args.batch,
                            fixed_hw=fixed_hw)
-            out = np.asarray(fwd(params, b.depth, b.color, b.mask))
+            # keep ONE jit signature: make_batch returns mask=None for a
+            # uniform batch, which would retrace the program
+            m = b.mask
+            if m is None:
+                import jax.numpy as jnp
+                m = jnp.ones_like(b.depth)
+            out = np.asarray(fwd(params, b.depth, b.color, m))
             for j, name in enumerate(b.names):
                 h, w = b.sizes[j]
                 pred = out[j, :h, :w, 0].astype(np.float64)
@@ -97,10 +105,13 @@ def main() -> None:
 
     def score(name, pred_float):
         label = next(s.label for s in samples if s.name == name)
-        # match the deployment quantization exactly (cli fwd_u8 truncates:
-        # (clip(out,0,1)*255).astype(uint8)) so tta4 rows here reproduce
-        # `eval --tta` JSONs and shift5 rows are what shipping would write
-        u8 = (np.clip(pred_float, 0.0, 1.0) * 255.0).astype(np.uint8)
+        # match the deployment quantization (cli fwd_u8 truncates
+        # (clip(out,0,1)*255).astype(uint8) in f32 ON DEVICE) — clip and
+        # multiply in f32 so the rare half-ulp-below-integer pixels
+        # truncate the same way they would on device
+        f32 = np.clip(pred_float.astype(np.float32), np.float32(0.0),
+                      np.float32(1.0)) * np.float32(255.0)
+        u8 = f32.astype(np.uint8)
         return (masked_rmse(label, u8), ssim_exact(label / 255, u8 / 255))
 
     rows = []

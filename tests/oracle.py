@@ -19,21 +19,6 @@ def load_reference_codonnet():
     return CODON_x4.CODONNet
 
 
-def load_reference_x16():
-    """Returns (BaseNet_RMCR_fuseRMCR, CODONNet-no-dead-heads) from X16."""
-    # X16 dir shadows X4's CAC_module by sys.path order; import fresh.
-    saved = dict(sys.modules)
-    for m in ("CODON_x16", "CAC_module"):
-        sys.modules.pop(m, None)
-    if X4_DIR in sys.path:
-        sys.path.remove(X4_DIR)
-    if X16_DIR not in sys.path:
-        sys.path.insert(0, X16_DIR)
-    import CODON_x16  # noqa
-    cls = (CODON_x16.BaseNet_RMCR_fuseRMCR, CODON_x16.CODONNet)
-    # restore module cache for X4-based tests
-    sys.path.remove(X16_DIR)
-    for m in ("CODON_x16", "CAC_module"):
-        sys.modules.pop(m, None)
-    sys.modules.update({k: v for k, v in saved.items() if k not in sys.modules})
-    return cls
+# (X16 oracle loading lives in test_x16_variants._load_x16_module, which
+# isolates the CAC_module shadowing via importlib instead of sys.path
+# surgery; a second loader here was dead code and leaked sys.path state.)

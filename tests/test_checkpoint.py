@@ -44,19 +44,30 @@ def test_pth_full_module_pickle(tmp_path, ref_net):
         {k: v.detach().numpy() for k, v in ref_net.state_dict().items()},
         cfg)
     import jax
-    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(direct)):
+    fa, fb = jax.tree.leaves(params), jax.tree.leaves(direct)
+    assert len(fa) == len(fb)  # zip would pass vacuously on dropped leaves
+    for a, b in zip(fa, fb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_pth_dataparallel_prefix(tmp_path, ref_net):
-    wrapped = torch.nn.Sequential()  # emulate module. prefix via state dict
+    # emulate the module. prefix via the state dict (CODON_X16/test.py:52)
     sd = {f"module.{k}": v for k, v in ref_net.state_dict().items()}
     path = str(tmp_path / "X16.pth")
     torch.save(sd, path)
     cfg = CodonConfig(dead_heads=True)
     params, epoch = load_pth(path, cfg)
     assert epoch == -1
-    assert "input" in params and "cac" in params
+    # prefix stripping must map every tensor to the same parameter the
+    # unprefixed converter produces (values, not just key presence)
+    direct = torch_state_dict_to_params(
+        {k: v.detach().numpy() for k, v in ref_net.state_dict().items()},
+        cfg)
+    import jax
+    fa, fb = jax.tree.leaves(params), jax.tree.leaves(direct)
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_npz_round_trip(tmp_path, ref_net):

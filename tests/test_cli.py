@@ -46,10 +46,15 @@ def test_eval_end_to_end(tmp_path):
         m = json.load(f)
     assert m["images"] == 3 and len(m["per_image"]) == 3
     assert m["mean_rmse"] > 0
-    # resume: immediately done
+    # resume: immediately done — assert the skip actually happened (a
+    # regression that re-evaluates everything would also return 0)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
     rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--out", out,
                    "--resume"])
     assert rc == 0
+    assert mtimes == {f: os.path.getmtime(os.path.join(out, f))
+                      for f in os.listdir(out)}, "resume rewrote outputs"
 
 
 def test_train_smoke(tmp_path):
@@ -196,9 +201,21 @@ def test_eval_dp_devices_and_int8_tiled(tmp_path):
     # int8 rides bf16 compute; halo-conv vs plain-conv accumulation order
     # flips quantization roundings that compound over 40 convs, so the two
     # runs agree only statistically (bit-exactness of tiled int8 is proven
-    # in fp32 by test_quant_ops.test_int8_tiled_matches_untiled). A silent
-    # bf16 fallback would differ from the int8 run far more than this.
+    # in fp32 by test_quant_ops.test_int8_tiled_matches_untiled).
     assert abs(mi["mean_rmse"] - mit["mean_rmse"]) < 0.5, (mi, mit)
+    # falsifiable fallback guard: a mesh branch that silently dropped the
+    # int8 backend (the round-1 bug) would run the IDENTICAL bf16 program
+    # — so the bf16 mesh run must NOT byte-reproduce the int8 mesh run
+    jb = str(tmp_path / "mesh_bf16.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
+                   "2", "--no-save", "--json", jb, "--dtype", "bf16",
+                   "--pad-multiple", "8", "--dp-devices", "2",
+                   "--tile-devices", "2", "--out", str(tmp_path / "o5")])
+    assert rc == 0
+    mb = json.load(open(jb))
+    assert ([r["rmse"] for r in mb["per_image"]]
+            != [r["rmse"] for r in mit["per_image"]]), \
+        "int8 mesh eval produced bit-identical metrics to bf16 (fallback?)"
 
 
 def test_eval_zoo_variant(tmp_path):
@@ -215,7 +232,7 @@ def test_eval_zoo_variant(tmp_path):
     assert len(os.listdir(out)) == 2
 
 
-def test_train_qat_static_ships_scales(tmp_path):
+def test_train_qat_static_ships_scales(tmp_path, capsys):
     """train --qat-static calibrates, fine-tunes, and embeds act_scales;
     eval --dtype int8 picks the static backend up from the checkpoint."""
     data = str(tmp_path / "data")
@@ -229,10 +246,15 @@ def test_train_qat_static_ships_scales(tmp_path):
     keys = np.load(ck).files
     assert any(k.startswith("act_scales/") for k in keys), keys
     out = str(tmp_path / "out_qs")
+    capsys.readouterr()
     rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--ckpt", ck,
                    "--no-save", "--batch", "2", "--dtype", "int8",
                    "--out", out, "--pad-multiple", "8"])
     assert rc == 0
+    # the eval must actually select the STATIC backend (rc==0 alone would
+    # also pass on a silent dynamic fallback after a key rename)
+    assert "int8: static per-channel scales from checkpoint" in \
+        capsys.readouterr().out
 
 
 def test_train_ema_qat_static_composition(tmp_path):
@@ -262,7 +284,7 @@ def test_train_ema_qat_static_composition(tmp_path):
     assert rc == 0
 
 
-def test_train_orbax_resume(tmp_path):
+def test_train_orbax_resume(tmp_path, capsys):
     """--orbax-dir: async step saves; a rerun resumes from the latest step
     instead of restarting (crash-recovery semantics)."""
     data = str(tmp_path / "data")
@@ -279,11 +301,17 @@ def test_train_orbax_resume(tmp_path):
     assert mgr.latest_step() == 4
     mgr.close()
     # rerun with more steps: resumes at 4, runs 5..6 only
+    capsys.readouterr()
     rc = cli.main(["train", "--scale", "4", "--data-dir", data, "--steps",
                    "6", "--patch", "16", "--batch", "2", "--ckpt-out", ck,
                    "--log-every", "1", "--dtype", "fp32",
                    "--orbax-dir", odir, "--save-every", "2"])
     assert rc == 0
+    out = capsys.readouterr().out
+    # a silent restart-from-0 would also end at latest_step()==6 — pin the
+    # actual resume (and that step 1 was NOT retrained)
+    assert "orbax: resumed step 4" in out
+    assert "step      1" not in out and "step 1 " not in out
     mgr = CheckpointManager(odir)
     assert mgr.latest_step() == 6
     tree = mgr.restore()
@@ -291,7 +319,7 @@ def test_train_orbax_resume(tmp_path):
     mgr.close()
 
 
-def test_eval_int8_static_tiled(tmp_path):
+def test_eval_int8_static_tiled(tmp_path, capsys):
     """A qat-static checkpoint evaluated with --dtype int8 under a dp x sp
     mesh runs the STATIC sharded backend and agrees with the untiled
     static run (same frozen grid on every shard)."""
@@ -308,11 +336,15 @@ def test_eval_int8_static_tiled(tmp_path):
                    "--pad-multiple", "8", "--ckpt", ck,
                    "--out", str(tmp_path / "o1")])
     assert rc == 0
+    capsys.readouterr()
     rc = cli.main(["eval", "--scale", "4", "--data-dir", data, "--batch",
                    "2", "--no-save", "--json", jt, "--dtype", "int8",
                    "--pad-multiple", "8", "--ckpt", ck, "--dp-devices", "2",
                    "--tile-devices", "2", "--out", str(tmp_path / "o2")])
     assert rc == 0
+    # the mesh run must select the STATIC backend, not fall back dynamic
+    assert "int8: static per-channel scales from checkpoint" in \
+        capsys.readouterr().out
     mu, mt = json.load(open(ju)), json.load(open(jt))
     # static grid is identical on every shard; residual diffs are the
     # reduction-order LSB flips quantified in test_quant_ops

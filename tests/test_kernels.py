@@ -90,8 +90,9 @@ def test_full_stage_parity_masked():
     a = cac_stage_pallas(out, out_c, inputs, inputs_c,
                          w1, b1, w2, b2, sp_w, mask, interpret=True)
     b = _xla_stage(out, out_c, inputs, inputs_c, w1, b1, w2, b2, sp_w, mask)
-    valid = np.asarray(mask).astype(bool)
+    # compare EVERYWHERE, padding region included: the next conv's stencil
+    # reads the padded rows, so the kernels must agree there too (not just
+    # on valid pixels)
     for x, y in zip(a, b):
-        xv = np.asarray(x)[valid[..., 0]]
-        yv = np.asarray(y)[valid[..., 0]]
-        np.testing.assert_allclose(xv, yv, atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4)

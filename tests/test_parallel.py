@@ -36,10 +36,15 @@ def test_tiled_matches_untiled(setup, n_sp):
 
 
 def test_tiled_with_ragged_height(setup):
-    """H=48 not divisible by sp=5? use 7 shards -> padding path."""
-    v, params, depth, color, ref = setup
+    """H=45 NOT divisible by sp=8: tiled_infer must pad H to 48 (zero rows
+    + zero mask), shard, and crop back — exercising the ragged path for
+    real (H=48 would make _pad_to a no-op)."""
+    v, params, depth, color, _ = setup
+    depth, color = depth[:, :45], color[:, :45]
+    ref = np.asarray(v.forward(params, depth, color))
     mesh = make_mesh([1, 8])
     out = tiled_infer(v, params, depth, color, mesh=mesh)
+    assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 

@@ -98,6 +98,9 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--warmup", type=int, default=0,
                    help=">0: warmup+cosine schedule over --steps")
     t.add_argument("--loss", choices=("l1", "l2"), default="l1")
+    t.add_argument("--grad-loss", type=float, default=0.0,
+                   help=">0: add this weight of masked gradient-domain "
+                        "L1 (edge supervision) to the pixel loss")
     t.add_argument("--weight-decay", type=float, default=0.0,
                    help="decoupled weight decay (regularizer for tiny "
                         "training sets, e.g. holdout runs)")
@@ -694,6 +697,7 @@ def cmd_train(args) -> int:
                              warmup_steps=args.warmup,
                              weight_decay=getattr(args, "weight_decay",
                                                   0.0),
+                             grad_weight=getattr(args, "grad_loss", 0.0),
                              total_steps=args.steps), ops=qat_ops)
     opt_state = tx.init(params)
 

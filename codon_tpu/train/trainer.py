@@ -27,6 +27,11 @@ from codon_tpu.parallel.tiling import make_sharded_forward
 class TrainConfig:
     learning_rate: float = 1e-4
     loss: str = "l1"               # "l1" | "l2" (SR-standard choices)
+    # >0 adds grad_weight * mean L1 error of spatial finite differences
+    # (masked to pixel pairs where BOTH endpoints are valid). Gradient-
+    # domain supervision sharpens depth edges — the structures masked
+    # RMSE punishes most on scenes like Art (thin brushes/pencils).
+    grad_weight: float = 0.0
     clip_norm: Optional[float] = None
     weight_decay: float = 0.0
     # cosine schedule: warmup_steps > 0 enables
@@ -111,6 +116,19 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
         else:
             raise ValueError(f"TrainConfig.loss must be 'l1' or 'l2', "
                              f"got {cfg.loss!r}")
+        if cfg.grad_weight:
+            lbl = batch["label"]
+            # forward differences along H and W; a difference is valid
+            # only when both its endpoint pixels are valid
+            my = m[:, 1:] * m[:, :-1]
+            mx = m[:, :, 1:] * m[:, :, :-1]
+            ey = ((out[:, 1:] - out[:, :-1])
+                  - (lbl[:, 1:] - lbl[:, :-1])) * my
+            ex = ((out[:, :, 1:] - out[:, :, :-1])
+                  - (lbl[:, :, 1:] - lbl[:, :, :-1])) * mx
+            gdenom = jnp.maximum(jnp.sum(my) + jnp.sum(mx), 1.0)
+            gloss = (jnp.sum(jnp.abs(ey)) + jnp.sum(jnp.abs(ex))) / gdenom
+            loss = loss + cfg.grad_weight * gloss
         return loss
 
     def step_fn(params, opt_state, batch):

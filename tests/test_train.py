@@ -111,3 +111,46 @@ def test_prefetch_sampler_delivers_batches():
             assert np.isfinite(b["label"]).all()
     finally:
         s.close()
+
+
+def test_grad_loss_masked_and_additive():
+    """grad_weight adds exactly the masked finite-difference L1 term.
+
+    Checked against a NumPy hand-computation on a batch with an invalid
+    (mask=0) pixel: differences touching that pixel must not contribute,
+    and grad_weight=0 must reproduce the plain pixel loss bit-for-bit.
+    """
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    batch = _tiny_batch(rng, B=1, H=8, W=8)
+    batch["mask"][0, 3, 4, 0] = 0.0  # knock out one pixel
+
+    def run(gw):
+        step, tx = make_train_step(
+            v, TrainConfig(learning_rate=0.0, grad_weight=gw),
+            donate=False)
+        opt_state = tx.init(params)
+        _, _, m = step(params, opt_state, batch)
+        return float(m["loss"])
+
+    base = run(0.0)
+    with_grad = run(0.7)
+
+    # NumPy oracle for the gradient term on the model's own output
+    out = np.asarray(v.forward(params, batch["depth"], batch["color"],
+                               mask=batch["mask"]))
+    lbl, m = batch["label"], batch["mask"]
+    my = m[:, 1:] * m[:, :-1]
+    mx = m[:, :, 1:] * m[:, :, :-1]
+    ey = ((out[:, 1:] - out[:, :-1]) - (lbl[:, 1:] - lbl[:, :-1])) * my
+    ex = ((out[:, :, 1:] - out[:, :, :-1])
+          - (lbl[:, :, 1:] - lbl[:, :, :-1])) * mx
+    gloss = (np.abs(ey).sum() + np.abs(ex).sum()) / (my.sum() + mx.sum())
+    assert np.isclose(with_grad - base, 0.7 * gloss, rtol=1e-4), (
+        with_grad - base, 0.7 * gloss)
+
+    # moving a masked-out label pixel must not change the loss
+    batch2 = {k: np.array(a) for k, a in batch.items()}
+    batch2["label"][0, 3, 4, 0] += 123.0
+    assert np.isclose(run(0.7), with_grad, rtol=1e-5)

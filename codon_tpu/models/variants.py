@@ -91,14 +91,21 @@ def _codonet_x16_model(dtypes):
                    codon_forward)
 
 
-@register("codon_f5", "CODONNet with 5 fusion MC iterations instead of 3 "
-          "— the fusion loop reuses one weight set (CODON_x4.py:122-128), "
-          "so the param pytree is IDENTICAL to 'codon': checkpoints "
-          "interchange, making this a test-time/train-time compute knob "
-          "and an architecture-diverse ensemble member")
-def _codon_f5(dtypes):
-    cfg = CodonConfig(dead_heads=True, num_fuse=5, dtypes=dtypes)
-    return Variant("codon_f5", cfg, init_codon_params, codon_forward)
+def _register_codon_fn(n):
+    @register(f"codon_f{n}", f"CODONNet with {n} fusion MC iterations "
+              "instead of 3 — the fusion loop reuses one weight set "
+              "(CODON_x4.py:122-128), so the param pytree is IDENTICAL "
+              "to 'codon': checkpoints interchange, making this a "
+              "test-time/train-time compute knob and an "
+              "architecture-diverse ensemble member")
+    def _codon_fn(dtypes, n=n):
+        cfg = CodonConfig(dead_heads=True, num_fuse=n, dtypes=dtypes)
+        return Variant(f"codon_f{n}", cfg, init_codon_params,
+                       codon_forward)
+
+
+for _n in (4, 5, 6, 7):
+    _register_codon_fn(_n)
 
 
 @register("rmcr_fuse_rmcr", "attention-free CODON skeleton, sequential "

@@ -95,3 +95,24 @@ def test_codon_f5_checkpoint_compatible():
     oa = np.asarray(a.forward(pa, d, c))
     ob = np.asarray(b.forward(pa, d, c))
     assert np.abs(oa - ob).max() > 1e-6
+
+
+def test_codon_fn_family_checkpoint_compatible():
+    """The whole codon_f{4,6,7} family shares codon's param pytree and
+    each fusion count produces a genuinely different forward — the
+    eval-time compute knob behind the fusion-count sweep."""
+    import jax
+    base = get_variant("codon")
+    params = base.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    d = rng.rand(1, 16, 13, 1).astype(np.float32)
+    c = rng.rand(1, 16, 13, 1).astype(np.float32)
+    outs = [np.asarray(base.forward(params, d, c))]
+    for n in (4, 6, 7):
+        v = get_variant(f"codon_f{n}")
+        pv = v.init(jax.random.PRNGKey(0))
+        assert jax.tree.structure(params) == jax.tree.structure(pv)
+        outs.append(np.asarray(v.forward(params, d, c)))
+    for i in range(len(outs)):
+        for j in range(i + 1, len(outs)):
+            assert np.abs(outs[i] - outs[j]).max() > 1e-6, (i, j)

@@ -122,6 +122,16 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "degradation pairs per scene, unlike re-"
                         "synthesized pyramids (which mismatched the "
                         "shipped degradation and regressed)")
+    t.add_argument("--edge-bias", type=float, default=0.0,
+                   help="probability in (0,1] that a training patch is "
+                        "centered (with jitter) on a depth-discontinuity "
+                        "pixel instead of uniformly placed — targets the "
+                        "thin-structure error masked RMSE concentrates on")
+    t.add_argument("--scene-weight", default=None,
+                   help="comma list Name=W of per-scene sampling weights "
+                        "(unlisted scenes weigh 1.0), e.g. Art=3 to "
+                        "oversample a scene a shipping fine-tune must "
+                        "not regress")
     t.add_argument("--augment", choices=("full", "flips", "none"),
                    default="full",
                    help="patch augmentation: full = flips+rot90+photometric"
@@ -180,8 +190,11 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "(padded-batch serving)")
     x.add_argument("--tta", action="store_true",
                    help="bake the 4-flip self-ensemble into the artifact "
-                        "(batched lowering; quality-flagship serving "
-                        "config when combined with --dtype int8)")
+                        "(batched lowering)")
+    x.add_argument("--tta8", action="store_true",
+                   help="bake the full 8-transform dihedral self-ensemble "
+                        "(quality-flagship serving config when combined "
+                        "with --dtype int8); implies --tta")
 
     i = sub.add_parser("info", help="model + device summary")
     i.add_argument("--variant", default="codon")
@@ -576,6 +589,7 @@ def cmd_train(args) -> int:
             raise SystemExit(f"--exclude names not in dataset: {missing}")
         names = [n for n in names if n not in excluded]
         print(f"holding out: {sorted(excluded)}")
+    pair_names = list(names)   # one entry per (label, color, degraded) pair
     labels, colors, degraded = [], [], []
     for n in names:
         labels.append(imread_gray(os.path.join(scale_dir, "input_label",
@@ -612,6 +626,7 @@ def cmd_train(args) -> int:
                     labels.append(labels[i])
                     colors.append(colors[i])
                     degraded.append(deg)
+                    pair_names.append(n)
                     added += 1
         print(f"mix-scales: +{added} shipped degradation pairs from the "
               f"other scale dirs"
@@ -701,11 +716,27 @@ def cmd_train(args) -> int:
                              total_steps=args.steps), ops=qat_ops)
     opt_state = tx.init(params)
 
-    sampler = PatchSampler(labels, colors, scale=args.scale,
-                           patch=args.patch, batch=args.batch,
-                           seed=args.seed, augment=args.augment,
-                           degraded=degraded if use_real else None
-                           ).prefetch(2)
+    scene_weights = None
+    if getattr(args, "scene_weight", None):
+        wmap = {}
+        for item in args.scene_weight.split(","):
+            k, _, v = item.partition("=")
+            if not _ or not k.strip():
+                raise SystemExit(f"--scene-weight expects Name=W[,..], "
+                                 f"got {item!r}")
+            wmap[k.strip()] = float(v)
+        unknown = set(wmap) - set(pair_names)
+        if unknown:
+            raise SystemExit(f"--scene-weight names not in the training "
+                             f"set: {sorted(unknown)}")
+        scene_weights = [wmap.get(n, 1.0) for n in pair_names]
+        print(f"scene weights: {wmap} over {len(pair_names)} pairs")
+    sampler_src = PatchSampler(labels, colors, scale=args.scale,
+                               patch=args.patch, batch=args.batch,
+                               seed=args.seed, augment=args.augment,
+                               degraded=degraded if use_real else None,
+                               edge_bias=getattr(args, "edge_bias", 0.0),
+                               scene_weights=scene_weights)
 
     mgr = None
     start_step = 0
@@ -738,10 +769,16 @@ def cmd_train(args) -> int:
             opt_state = device_tree(tree["opt_state"])
             start_step = int(tree["step"])
             print(f"orbax: resumed step {start_step} from {args.orbax_dir} "
-                  f"(note: the patch sampler stream restarts)")
+                  f"(sampler stream resumes at the same step — batches "
+                  f"match the uninterrupted run)")
         else:
             print(f"orbax: async checkpoints -> {args.orbax_dir} "
                   f"every {args.save_every} steps (keep-last-3)")
+
+    # prefetch starts AFTER the orbax restore so the stream begins at the
+    # restored step: batch i is a pure function of (seed, i), making an
+    # interrupted+resumed run reproduce the uninterrupted one
+    sampler = sampler_src.prefetch(2, start_step)
 
     ema_decay = getattr(args, "ema", 0.0)
     ema_params = None
@@ -859,12 +896,13 @@ def cmd_export(args) -> int:
             from codon_tpu.quant_ops import Int8Ops
             ops = Int8Ops()
             print("int8: dynamic per-sample scales")
+    tta_n = (8 if getattr(args, "tta8", False)
+             else 4 if getattr(args, "tta", False) else 0)
     n = export_forward(variant, params, (args.height, args.width),
-                       args.out, ops=ops, mask=args.mask,
-                       tta=getattr(args, "tta", False))
+                       args.out, ops=ops, mask=args.mask, tta=tta_n)
     import jax
     print(f"exported {args.variant} {args.width}x{args.height} "
-          f"[{args.dtype}{'+tta' if getattr(args, 'tta', False) else ''}] "
+          f"[{args.dtype}{f'+tta{tta_n}' if tta_n else ''}] "
           f"for platform '{jax.default_backend()}' "
           f"-> {args.out} ({n / 1e6:.1f} MB)")
     return 0

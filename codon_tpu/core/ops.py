@@ -62,7 +62,7 @@ class Ops:
     on it (codon_tpu/quant_ops.py).
     """
 
-    def conv2d(self, x, w, *, padding="SAME",
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):  # pragma: no cover - interface
         raise NotImplementedError
 

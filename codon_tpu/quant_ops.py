@@ -79,6 +79,27 @@ def _gathered_sample_scale(x, axis_name):
         jnp.float32)
 
 
+def _fq(t, s, clipped_ste=False):
+    """Fake-quantize on grid `s` with straight-through gradients.
+
+    The quotient is computed in f32, matching deployment: _int8_conv rounds
+    t.astype(f32) / s — a bf16 quotient (spacing 0.5 in the top octave of
+    the grid) would round a measurable fraction of values to a DIFFERENT
+    int8 code than inference uses.
+
+    clipped_ste=True zeroes the gradient where the grid CLIPS (static
+    frozen scales do clip outliers; letting gradients pass through the
+    clip teaches weights to chase unrepresentable values).
+    """
+    q = (jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
+         * s).astype(t.dtype)
+    ste = t + lax.stop_gradient(q - t)
+    if not clipped_ste:
+        return ste
+    inside = jnp.abs(t.astype(jnp.float32)) <= 127.0 * s
+    return jnp.where(inside, ste, lax.stop_gradient(q))
+
+
 def _int8_conv(x, w, *, padding, groups, sx):
     """int8 x int8 MXU conv with fused dequant epilogue.
 
@@ -119,18 +140,8 @@ class FakeQuantOps(XlaOps):
         if _skip_quant(w):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
-
-        def fq(t, s):
-            # f32 quotient, matching deployment: _int8_conv rounds
-            # t.astype(f32) / s — a bf16 quotient (spacing 0.5 in the top
-            # octave of the grid) would round a measurable fraction of
-            # values to a DIFFERENT int8 code than inference uses
-            q = (jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
-                 * s).astype(t.dtype)
-            return t + lax.stop_gradient(q - t)
-
-        xq = fq(x, _x_scale(x).astype(jnp.float32))
-        wq = fq(w, _w_scales(w)[None, None, None, :].astype(jnp.float32))
+        xq = _fq(x, _x_scale(x).astype(jnp.float32))
+        wq = _fq(w, _w_scales(w)[None, None, None, :].astype(jnp.float32))
         out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
                           precision=self.precision)
         return self.apply_mask(out, mask)
@@ -356,21 +367,10 @@ class Int8StaticShardedOps(_StaticHandoffMixin, ShardedOps):
         return self.apply_mask(acc * sw.astype(out_dt), mask)
 
 
-class FakeQuantStaticOps(XlaOps):
-    """QAT backend for the static grid: frozen per-site scales, clipped STE.
-
-    Numerically simulates Int8StaticOps in float: activations fake-quantize
-    on the frozen per-channel grid (gradient zero where the static grid
-    CLIPS — unlike dynamic absmax, static scales do clip outliers, and
-    letting gradients pass through the clip teaches weights to chase
-    unrepresentable values). Weights fake-quantize on the folded grid
-    sw_o / s_c — exactly the grid Int8StaticOps deploys.
-    """
-
-    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None):
-        super().__init__(acc_dtype=acc_dtype, precision=precision)
-        self.act_scales = {k: jnp.asarray(v, jnp.float32)
-                           for k, v in act_scales.items()}
+class _StaticFakeQuantMixin:
+    """Frozen-grid fake-quant logic shared by FakeQuantStaticOps and its
+    sharded twin (static per-channel grids are position-independent, so
+    fake-quantizing needs no collective even under spatial sharding)."""
 
     def roundtrip(self, x, name=None):
         """QAT model of Int8StaticOps.roundtrip: fake-quant on the frozen
@@ -388,9 +388,87 @@ class FakeQuantStaticOps(XlaOps):
         sc = _site_scale(self.act_scales, name, 1)
         if sc is None:
             return x
-        q = (jnp.clip(jnp.round(x.astype(jnp.float32) / sc), -127, 127)
-             * sc).astype(x.dtype)
-        return x + lax.stop_gradient(q - x)
+        return _fq(x, sc, clipped_ste=False)
+
+    def _fq_site(self, x, w, sc):
+        """Fake-quantize (x, w) for one conv site on the frozen grid
+        (clipped STE for activations), or the dynamic grid when the site
+        is uncalibrated."""
+        if sc is None:
+            xq = _fq(x, _x_scale(x).astype(jnp.float32))
+            wq = _fq(w, _w_scales(w)[None, None, None, :])
+        else:
+            xq = _fq(x, sc, clipped_ste=True)
+            # weight grid of the deployed fold: sw_o / s_c per element
+            sw = _w_scales(w.astype(jnp.float32) *
+                           sc[None, None, :, None])
+            wq = _fq(w, (sw[None, None, None, :] /
+                         sc[None, None, :, None]))
+        return xq, wq
+
+
+class FakeQuantStaticOps(_StaticFakeQuantMixin, XlaOps):
+    """QAT backend for the static grid: frozen per-site scales, clipped STE.
+
+    Numerically simulates Int8StaticOps in float: activations fake-quantize
+    on the frozen per-channel grid (gradient zero where the static grid
+    CLIPS — unlike dynamic absmax, static scales do clip outliers, and
+    letting gradients pass through the clip teaches weights to chase
+    unrepresentable values). Weights fake-quantize on the folded grid
+    sw_o / s_c — exactly the grid Int8StaticOps deploys.
+    """
+
+    def __init__(self, act_scales, acc_dtype=jnp.float32, precision=None):
+        super().__init__(acc_dtype=acc_dtype, precision=precision)
+        self.act_scales = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()}
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        if _skip_quant(w):
+            return super().conv2d(x, w, padding=padding, mask=mask,
+                                  groups=groups)
+        xq, wq = self._fq_site(x, w, _site_scale(self.act_scales, name,
+                                                 groups))
+        out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
+                          precision=self.precision)
+        return self.apply_mask(out, mask)
+
+
+class FakeQuantShardedOps(ShardedOps):
+    """Dynamic-scale QAT under spatial sharding (QAT x mesh training).
+
+    The per-sample scale is all-reduced over the sharded H axis — exactly
+    the values _x_scale sees untiled — and fake-quant is elementwise on
+    that shared scale, so halo rows exchanged AFTER fake-quant are
+    bit-identical to their home-shard values: the sharded QAT step matches
+    the single-device FakeQuantOps step (tested in test_train.py).
+    """
+
+    def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
+               name=None):
+        del name
+        if _skip_quant(w):
+            return super().conv2d(x, w, padding=padding, mask=mask,
+                                  groups=groups)
+        xq = _fq(x, _gathered_sample_scale(x, self.axis_name))
+        wq = _fq(w, _w_scales(w)[None, None, None, :].astype(jnp.float32))
+        return super().conv2d(xq, wq, padding=padding, mask=mask,
+                              groups=groups)
+
+
+class FakeQuantStaticShardedOps(_StaticFakeQuantMixin, ShardedOps):
+    """Frozen-grid QAT under spatial sharding: no scale collective at all
+    (static grids are position-independent); the halo-exchange float conv
+    runs on fake-quantized tensors, matching FakeQuantStaticOps exactly.
+    """
+
+    def __init__(self, act_scales, axis_name="sp", acc_dtype=jnp.float32,
+                 precision=None):
+        super().__init__(axis_name=axis_name, acc_dtype=acc_dtype,
+                         precision=precision)
+        self.act_scales = {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()}
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
@@ -398,29 +476,15 @@ class FakeQuantStaticOps(XlaOps):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
         sc = _site_scale(self.act_scales, name, groups)
-
-        def fq(t, s, clipped_ste):
-            q = (jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
-                 * s).astype(t.dtype)
-            ste = t + lax.stop_gradient(q - t)
-            if not clipped_ste:
-                return ste
-            inside = jnp.abs(t.astype(jnp.float32)) <= 127.0 * s
-            return jnp.where(inside, ste, lax.stop_gradient(q))
-
         if sc is None:
-            xq = fq(x, _x_scale(x).astype(jnp.float32), False)
-            wq = fq(w, _w_scales(w)[None, None, None, :], False)
+            # uncalibrated-site dynamic fallback: the scale must still be
+            # shared across shards for tiled == untiled
+            xq = _fq(x, _gathered_sample_scale(x, self.axis_name))
+            wq = _fq(w, _w_scales(w)[None, None, None, :])
         else:
-            xq = fq(x, sc, True)
-            # weight grid of the deployed fold: sw_o / s_c per element
-            sw = _w_scales(w.astype(jnp.float32) *
-                           sc[None, None, :, None])
-            wq = fq(w, (sw[None, None, None, :] /
-                        sc[None, None, :, None]), False)
-        out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
-                          precision=self.precision)
-        return self.apply_mask(out, mask)
+            xq, wq = self._fq_site(x, w, sc)
+        return super().conv2d(xq, wq, padding=padding, mask=mask,
+                              groups=groups)
 
 
 class CalibrationOps(XlaOps):

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def export_forward(variant, params, hw: Tuple[int, int], path: str,
-                   ops=None, mask: bool = False, tta: bool = False) -> int:
+                   ops=None, mask: bool = False, tta=False) -> int:
     """Serialize the forward to `path`. Returns the artifact size in bytes.
 
     hw: (H, W) of the (padded) input resolution.
@@ -33,10 +33,12 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
          with its scales — the full static-int8 path exports cleanly, it
          is pure XLA ops).
     mask: also take a validity-mask input (padded-batch serving).
-    tta: bake the 4-flip geometric self-ensemble into the artifact
-         (batched lowering — flips ride the batch axis of one forward;
-         models/tta.py). The quality-flagship serving config is
-         tta=True over a static-int8 ops backend.
+    tta: bake a geometric self-ensemble into the artifact (batched
+         lowering — flips ride the batch axis of one forward;
+         models/tta.py). True or 4 = the 4-flip subgroup; 8 = the full
+         dihedral group (adds the transposed quartet as a second batched
+         forward at (W, H) — the quality-flagship eval config). The
+         flagship serving config is tta=8 over a static-int8 ops backend.
     """
     import jax
     import jax.export
@@ -48,8 +50,9 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
 
     base = lambda p, d, c, m: variant.forward(p, d, c, mask=m, ops=ops)
     if tta:
+        n = 4 if tta is True else int(tta)
         from codon_tpu.models.tta import make_tta_forward
-        base = make_tta_forward(base)
+        base = make_tta_forward(base, transforms=n)
 
     if mask:
         def fwd(depth, color, m):

@@ -32,6 +32,11 @@ class PatchSampler:
     reference datasets ship them as input_depth/ — matching the true
     degradation beats re-synthesizing it); otherwise bicubic down-up
     synthesis from the labels.
+
+    Batch i is a pure function of (seed, i): each sample_at(step) call
+    derives its RNG from SeedSequence((seed, step)), so the stream needs no
+    mutable cursor — an orbax-resumed run reproduces the uninterrupted
+    run's batches bitwise (tested), and the prefetch thread can't skew it.
     """
 
     labels: List[np.ndarray]          # uint8 GT depth images
@@ -55,6 +60,15 @@ class PatchSampler:
     # degradation differs from the shipped input_depth degradation, so a
     # third of training pairs see a mismatched input distribution).
     pyramid: tuple = ()
+    # probability that a patch is CENTERED (with jitter) on a depth-
+    # discontinuity pixel (|grad label| above its 90th percentile) instead
+    # of uniformly placed: thin-structure scenes (Art's brushes, Cones'
+    # lattice) are exactly what uniform sampling under-serves on 7-image
+    # training sets, and masked RMSE concentrates its error there
+    edge_bias: float = 0.0
+    # optional per-image sampling weights (oversampling — e.g. upweight a
+    # scene a shipping fine-tune must not regress); None = uniform
+    scene_weights: List[float] = None
 
     def __post_init__(self):
         import cv2
@@ -69,7 +83,19 @@ class PatchSampler:
                 f"{len(small)} source image(s) smaller than patch="
                 f"{self.patch} (e.g. {shapes}); shrink --patch or drop "
                 f"them")
-        self._rng = np.random.RandomState(self.seed)
+        self._step = 0   # cursor for the convenience sample() wrapper
+        if self.scene_weights is not None:
+            if len(self.scene_weights) != len(self.labels):
+                raise ValueError(
+                    f"scene_weights has {len(self.scene_weights)} entries "
+                    f"for {len(self.labels)} images")
+            w = np.asarray(self.scene_weights, np.float64)
+            if (w < 0).any() or w.sum() <= 0:
+                raise ValueError("scene_weights must be >=0 with a "
+                                 "positive sum")
+            self._scene_p = w / w.sum()
+        else:
+            self._scene_p = None
         if self.degraded is not None:
             assert len(self.degraded) == len(self.labels)
             base_degraded = self.degraded
@@ -95,54 +121,83 @@ class PatchSampler:
                 cols.append(col_s)
                 degs.append(synthesize_lr(lab_s, self.scale))
             self._levels.append((labs, cols, degs))
+        # edge-pixel coordinate lists per (level, image), precomputed once
+        self._edge_yx = None
+        if self.edge_bias:
+            if not 0.0 < self.edge_bias <= 1.0:
+                raise ValueError(f"edge_bias must be in (0, 1], got "
+                                 f"{self.edge_bias}")
+            self._edge_yx = []
+            for labs, _, _ in self._levels:
+                per = []
+                for lab in labs:
+                    gy, gx = np.gradient(lab.astype(np.float32))
+                    gm = np.abs(gy) + np.abs(gx)
+                    # max() guard: a constant-depth image has percentile 0
+                    # and would mark EVERY pixel an edge
+                    thr = max(float(np.percentile(gm, 90.0)), 1e-3)
+                    per.append(np.nonzero(gm >= thr))
+                self._edge_yx.append(per)
 
     def __iter__(self) -> Iterator[dict]:
         while True:
             yield self.sample()
 
-    def prefetch(self, depth: int = 2) -> "PrefetchSampler":
+    def prefetch(self, depth: int = 2,
+                 start_step: int = 0) -> "PrefetchSampler":
         """Background-thread sampling: overlaps host-side patch assembly
         (the measured train-loop bottleneck on a 1-core host) with device
-        compute. `depth` batches are staged ahead."""
-        return PrefetchSampler(self, depth)
+        compute. `depth` batches are staged ahead, starting the stream at
+        `start_step` (orbax resume hands the restored step in, so the
+        resumed stream continues the uninterrupted one exactly)."""
+        return PrefetchSampler(self, depth, start_step)
 
     def sample(self) -> dict:
+        b = self.sample_at(self._step)
+        self._step += 1
+        return b
+
+    def sample_at(self, step: int) -> dict:
+        """The batch for `step` — pure in (seed, step), see class doc."""
+        rng = np.random.RandomState(
+            np.random.SeedSequence((self.seed, step)).generate_state(8))
         B, P = self.batch, self.patch
         depth = np.empty((B, P, P, 1), np.float32)
         color = np.empty((B, P, P, 1), np.float32)
         label = np.empty((B, P, P, 1), np.float32)
         for b in range(B):
-            i = self._rng.randint(len(self.labels))
-            lv = self._levels[self._rng.randint(len(self._levels))]
+            i = (rng.randint(len(self.labels)) if self._scene_p is None
+                 else int(rng.choice(len(self.labels), p=self._scene_p)))
+            li = rng.randint(len(self._levels))
+            lv = self._levels[li]
             lab, col, deg = lv[0][i], lv[1][i], lv[2][i]
             h, w = lab.shape
-            y = self._rng.randint(max(1, h - P + 1))
-            x = self._rng.randint(max(1, w - P + 1))
+            y, x = self._corner(rng, li, i, h, w)
             lp = lab[y:y + P, x:x + P].astype(np.float32) / 255.0
             cp = col[y:y + P, x:x + P].astype(np.float32) / 255.0
             dp = deg[y:y + P, x:x + P].astype(np.float32) / 255.0
             aug = self.augment if isinstance(self.augment, str) else (
                 "flips" if self.augment else "none")
             if aug != "none":
-                if self._rng.rand() < 0.5:
+                if rng.rand() < 0.5:
                     lp, cp, dp = lp[:, ::-1], cp[:, ::-1], dp[:, ::-1]
-                if self._rng.rand() < 0.5:
+                if rng.rand() < 0.5:
                     lp, cp, dp = lp[::-1], cp[::-1], dp[::-1]
             if aug == "full":
-                if self._rng.rand() < 0.5:   # rot90 (square patches)
+                if rng.rand() < 0.5:   # rot90 (square patches)
                     lp, cp, dp = lp.T, cp.T, dp.T
                 # photometric jitter on the GUIDANCE only: the color image
                 # contributes structure, not absolute intensity — unseen
                 # scenes have unseen exposure/contrast
-                g = self._rng.uniform(0.7, 1.4)
-                a = self._rng.uniform(0.8, 1.2)
-                o = self._rng.uniform(-0.1, 0.1)
+                g = rng.uniform(0.7, 1.4)
+                a = rng.uniform(0.8, 1.2)
+                o = rng.uniform(-0.1, 0.1)
                 cp = np.clip(a * cp ** g + o, 0.0, 1.0)
                 # joint range-preserving affine on depth input AND label:
                 # depth values are scale-arbitrary, the refinement task is
                 # affine-equivariant ([0,1] -> [b, s+b] subset of [0,1])
-                s = self._rng.uniform(0.5, 1.0)
-                t = self._rng.uniform(0.0, 1.0 - s)
+                s = rng.uniform(0.5, 1.0)
+                t = rng.uniform(0.0, 1.0 - s)
                 lp = s * lp + t
                 dp = s * dp + t
             depth[b, ..., 0] = dp
@@ -150,6 +205,22 @@ class PatchSampler:
             label[b, ..., 0] = lp
         return {"depth": depth, "color": color, "label": label,
                 "mask": np.ones((B, P, P, 1), np.float32)}
+
+    def _corner(self, rng, level: int, img: int, h: int, w: int):
+        """Top-left patch corner: uniform, or (with prob edge_bias) jittered
+        around a random depth-edge pixel of this image."""
+        P = self.patch
+        if self._edge_yx is not None and rng.rand() < self.edge_bias:
+            ys, xs = self._edge_yx[level][img]
+            if len(ys):
+                k = rng.randint(len(ys))
+                jy = rng.randint(-(P // 4), P // 4 + 1)
+                jx = rng.randint(-(P // 4), P // 4 + 1)
+                y = int(np.clip(ys[k] - P // 2 + jy, 0, max(0, h - P)))
+                x = int(np.clip(xs[k] - P // 2 + jx, 0, max(0, w - P)))
+                return y, x
+        return (rng.randint(max(1, h - P + 1)),
+                rng.randint(max(1, w - P + 1)))
 
 
 class _WorkerError:
@@ -160,18 +231,26 @@ class _WorkerError:
 
 
 class PrefetchSampler:
-    """Thread-backed sampler: .sample() pops a pre-assembled batch."""
+    """Thread-backed sampler: .sample() pops a pre-assembled batch.
 
-    def __init__(self, sampler: PatchSampler, depth: int = 2):
+    Drives the underlying sampler by explicit step index (sample_at), so
+    the delivered stream is start_step, start_step+1, ... regardless of
+    thread scheduling or queue depth.
+    """
+
+    def __init__(self, sampler: PatchSampler, depth: int = 2,
+                 start_step: int = 0):
         import queue
         import threading
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
 
         def worker():
+            step = start_step
             while not self._stop.is_set():
                 try:
-                    b = sampler.sample()
+                    b = sampler.sample_at(step)
+                    step += 1
                 except BaseException as e:  # surface in sample(), don't
                     b = _WorkerError(e)     # die silently (daemon thread)
                 while not self._stop.is_set():

@@ -92,13 +92,26 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
     tx = make_optimizer(cfg)
 
     if mesh is not None:
+        ops_factory = None
         if ops is not None:
-            # the fake-quant backends are single-device semantics; a mesh
-            # forward would silently train the plain float path instead
-            raise NotImplementedError(
-                "make_train_step: ops overrides (QAT) are single-device "
-                "only — drop mesh or train QAT without one")
-        fwd = make_sharded_forward(variant, mesh, jit_compile=False)
+            # map the single-device QAT backend to its sharded twin: the
+            # per-sample dynamic scales need an all-reduce over the sp
+            # axis (frozen static grids need none) — see quant_ops
+            from codon_tpu import quant_ops
+            if isinstance(ops, quant_ops.FakeQuantStaticOps):
+                scales = ops.act_scales
+
+                def ops_factory(axis_name, **kw):
+                    return quant_ops.FakeQuantStaticShardedOps(
+                        scales, axis_name=axis_name, **kw)
+            elif isinstance(ops, quant_ops.FakeQuantOps):
+                ops_factory = quant_ops.FakeQuantShardedOps
+            else:
+                raise NotImplementedError(
+                    f"make_train_step: no sharded twin for ops backend "
+                    f"{type(ops).__name__} — train it single-device")
+        fwd = make_sharded_forward(variant, mesh, jit_compile=False,
+                                   ops_factory=ops_factory)
     else:
         def fwd(params, depth, color, mask):
             return variant.forward(params, depth, color, mask=mask,

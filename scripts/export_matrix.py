@@ -51,14 +51,17 @@ def main() -> None:
 
     enable_persistent_cache()
     os.makedirs(args.out_dir, exist_ok=True)
-    jobs = [(4, False), (8, False), (16, False), (4, True)]
+    # tta: 0 = plain, 4 = flip quartet, 8 = full dihedral (the quality-
+    # flagship eval config, exported at x4)
+    jobs = [(4, 0), (8, 0), (16, 0), (4, 4), (4, 8)]
     for scale, tta in jobs:
         variant = get_variant("codon", dtypes=BF16)
         params = load_npz(best_ckpt(scale))
         scales = params.pop("act_scales")
         ops = Int8StaticOps(scales,
                             compute_dtype=variant.cfg.dtypes.compute_dtype)
-        name = f"codon_x{scale}_{W}x{H}_int8{'_tta' if tta else ''}.codonx"
+        name = (f"codon_x{scale}_{W}x{H}_int8"
+                f"{f'_tta{tta}' if tta else ''}.codonx")
         path = os.path.join(args.out_dir, name)
         t0 = time.perf_counter()
         nbytes = export_forward(variant, params, (H, W), path,

@@ -31,11 +31,14 @@ def main():
 
     enable_persistent_cache()
     variant = get_variant("codon", dtypes=BF16)
-    ckpt = next(p for p in (
+    candidates = (
         os.path.join(REPO, "checkpoints", "x4_ship2_qat_static.npz"),
         os.path.join(REPO, "checkpoints", "x4_qat_static2.npz"),
         os.path.join(REPO, "checkpoints", "x4_qat_static.npz"))
-        if os.path.exists(p))
+    ckpt = next((p for p in candidates if os.path.exists(p)), None)
+    if ckpt is None:
+        raise SystemExit("no int8-static checkpoint found; tried:\n  "
+                         + "\n  ".join(candidates))
     params = load_npz(ckpt)
     act_scales = params.pop("act_scales")
     ops = Int8StaticOps(act_scales, compute_dtype=jnp.bfloat16)

@@ -49,6 +49,27 @@ def test_export_tta_int8(tmp_path):
         np.testing.assert_allclose(aot, live, atol=2e-3, rtol=2e-3)
 
 
+def test_export_tta8_polymorphic_batch(tmp_path):
+    """TTA8 (full dihedral, the quality-flagship eval config) exports with
+    a polymorphic batch and matches the live transforms=8 wrapper — incl.
+    the transposed quartet's second (W, H) forward inside one artifact."""
+    from codon_tpu.models.tta import make_tta_forward
+    v = get_variant("codon")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(3)))
+    path = str(tmp_path / "mtta8.codonx")
+    export_forward(v, params, (20, 17), path, tta=8)
+    fn = load_exported(path)
+    live_tta = make_tta_forward(
+        lambda p, a, b, mk: v.forward(p, a, b, mask=mk), transforms=8)
+    rng = np.random.RandomState(3)
+    for B in (1, 2):
+        d = rng.rand(B, 20, 17, 1).astype(np.float32)
+        c = rng.rand(B, 20, 17, 1).astype(np.float32)
+        live = np.asarray(live_tta(params, d, c, None))
+        aot = np.asarray(fn(d, c))
+        np.testing.assert_allclose(aot, live, atol=1e-5, rtol=1e-5)
+
+
 def test_export_int8_static_and_mask(tmp_path):
     """The full static-int8 deployment path exports (pure XLA ops), with
     the padded-batch mask input."""

@@ -56,6 +56,39 @@ def test_sharded_step_matches_single():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_sharded_qat_step_matches_single():
+    """QAT x mesh (round-3 verdict item 8): the dynamic and frozen-static
+    fake-quant backends each train identically under a dp x sp mesh and on
+    a single device — per-sample scales are all-reduced over sp; static
+    grids need no collective."""
+    from codon_tpu.quant_ops import (FakeQuantOps, FakeQuantStaticOps,
+                                     calibrate_act_scales)
+    v = get_variant("codon")
+    params = v.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    batch = _tiny_batch(rng, B=2, H=16)
+    cfg = TrainConfig(learning_rate=1e-3)
+    mesh = make_mesh([2, 4])
+    scales = calibrate_act_scales(
+        lambda p, d, c, ops, mask: v.forward(p, d, c, ops=ops, mask=mask),
+        params, [(batch["depth"], batch["color"], batch["mask"])])
+
+    for ops in (FakeQuantOps(), FakeQuantStaticOps(scales)):
+        step1, tx1 = make_train_step(v, cfg, donate=False, ops=ops)
+        opt1 = tx1.init(params)
+        p1, _, m1 = step1(params, opt1, batch)
+
+        stepN, txN = make_train_step(v, cfg, mesh=mesh, donate=False,
+                                     ops=ops)
+        optN = txN.init(params)
+        pN, _, mN = stepN(params, optN, batch)
+
+        assert abs(float(m1["loss"]) - float(mN["loss"])) < 1e-5, type(ops)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
+
+
 def test_weight_decay_shrinks_params():
     """Regression (round-2 advisor, high): decay placed after adam's
     scale(-lr) ADDED +wd*params per step — weights grew. With zero grads
@@ -83,7 +116,7 @@ def test_prefetch_sampler_propagates_worker_errors():
     from codon_tpu.train.data import PatchSampler
 
     class Boom(PatchSampler):
-        def sample(self):
+        def sample_at(self, step):
             raise ValueError("bad data")
 
     rng = np.random.RandomState(0)

@@ -25,6 +25,14 @@ if REPO not in sys.path:
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None,
+                    help="also write the accounting as a JSON artifact")
+    args = ap.parse_args()
+
     import jax
     from codon_tpu.checkpoint import load_npz
     from codon_tpu.core.params import BF16
@@ -106,6 +114,22 @@ def main():
     tops = 2.54 * B / (full / 1e3)
     print(f"achieved int8 throughput: {tops:5.0f} TOP/s "
           f"({tops / 394 * 100:4.1f}% of ~394 TOPS v5e peak)")
+    if args.json:
+        rec = {
+            "batch": B, "hw": [H, W],
+            "full_ms": full, "full_img_per_s": B / full * 1e3,
+            "handoff_ms": handoff, "no_cac_ms": no_cac, "mc3_ms": mc3,
+            "fuse0_ms": fuse0, "conv_spatial_gate_ms": conv_sp,
+            "bf16_full_ms": bf16_full,
+            "per_mc_stage_ms": per_mc, "per_fuse_stage_ms": per_fuse,
+            "cac_total_ms": cac_total, "stems_head_ms": stems_head,
+            "conv_cells_ms": 5 * per_mc + 3 * per_fuse,
+            "int8_speedup_vs_bf16": bf16_full / full,
+            "achieved_tops": tops, "v5e_int8_peak_tops": 394,
+        }
+        with open(args.json, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -37,6 +37,19 @@ if REPO not in sys.path:
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None,
+                    help="also write the bound accounting as JSON")
+    ap.add_argument("--convs-ms", type=float, default=244.9,
+                    help="measured conv-cell time from perf_ablate_int8 "
+                         "differencing (conv_cells_ms in its JSON)")
+    ap.add_argument("--measured-ms", type=float, default=359.5,
+                    help="measured full-model shipping time (b32)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from codon_tpu.utils.cache import enable_persistent_cache
@@ -118,16 +131,28 @@ def main():
 
     gates = 5 * (t_hw + t_c + t_ap)
     # conv time measured by differencing in perf_ablate_int8.py
-    convs = 244.9
+    convs = args.convs_ms
     bound = convs + gates + t_st
-    meas = 359.5
+    meas = args.measured_ms
     print(f"\nCAC floor (5 stages)        : {gates:8.2f} ms")
     print(f"stems+head floor            : {t_st:8.2f} ms")
     print(f"conv cells (measured)       : {convs:8.2f} ms")
     print(f"measured-primitive bound    : {bound:8.2f} ms "
           f"({B / bound * 1e3:.1f} img/s)")
-    print(f"shipping config (measured)  : {meas:8.2f} ms (89.0 img/s)")
+    print(f"shipping config (measured)  : {meas:8.2f} ms "
+          f"({B / meas * 1e3:.1f} img/s)")
     print(f"fraction of bound achieved  : {bound / meas * 100:.1f}%")
+    if args.json:
+        rec = {"batch": B, "hw": [H, W],
+               "pool_hw_ms": t_hw, "pool_c_ms": t_c, "apply_ms": t_ap,
+               "stems_head_ms": t_st, "cac_floor_5stage_ms": gates,
+               "conv_cells_ms": convs, "bound_ms": bound,
+               "bound_img_per_s": B / bound * 1e3,
+               "measured_ms": meas, "measured_img_per_s": B / meas * 1e3,
+               "fraction_of_bound": bound / meas}
+        with open(args.json, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

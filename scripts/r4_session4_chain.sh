@@ -25,6 +25,34 @@ rm -f /tmp/STOP_CHAIN
 echo $$ > /tmp/r4s4.pid
 mark S4_START
 
+# ---- 0. item 2 first: shipping repair via the PROVEN 20k gl recipe.
+# The session-3 cheap repair (2.5k Art-oversampled QAT-static fine-tune)
+# REGRESSED across the board (ship2r mean 2.49 — full-augment shift on a
+# flips-only ancestry at short horizon); ship4 instead runs the exact
+# recipe that produced gl10 and its clean static: 20k full-augment
+# grad-loss float retrain on all 10 from the ship2 float base, then
+# qat -> qat-static. Gate: per-image non-regression vs ship2 (the
+# checkpoint being replaced) per PARITY.md's rule.
+stop_requested && { echo STOPPED_AT_SHIP4; exit 0; }
+if [ ! -f $CK/x4_ship4.npz ]; then
+run train --scale 4 --augment full --grad-loss 1.0 --patch 96 --batch 16 \
+    --steps 20000 --warmup 500 --lr 1e-4 --seed 43 \
+    --ckpt-in $CK/x4_ship2_qat_static.npz --ckpt-out $CK/x4_ship4.npz
+fi
+run train --scale 4 --qat --steps 2000 --lr 3e-5 --warmup 50 \
+    --ckpt-in $CK/x4_ship4.npz --ckpt-out $CK/x4_ship4_qat.npz
+run train --scale 4 --qat-static --steps 1500 --lr 3e-5 --warmup 50 \
+    --ckpt-in $CK/x4_ship4_qat.npz --ckpt-out $CK/x4_ship4_qat_static.npz
+run eval --scale 4 --ckpt $CK/x4_ship4_qat_static.npz --dtype int8 \
+    --no-save --json $CK/x4_ship4_qat_static_int8_eval.json
+run eval --scale 4 --ckpt $CK/x4_ship4_qat_static.npz --dtype int8 --tta8 \
+    --no-save --json $CK/x4_ship4_qat_static_int8_tta8_eval.json
+python scripts/check_regression.py \
+    $CK/x4_ship2_qat_static_int8_eval.json \
+    $CK/x4_ship4_qat_static_int8_eval.json && echo SHIP4_GATE_PASSED \
+    || echo SHIP4_GATE_FAILED
+mark SHIP4_DONE
+
 # ---- 1. x8 gl member on top of the f5 best (mirrors the winning x4/x16
 # recipe: grad-loss fine-tune of the strongest member)
 stop_requested && { echo STOPPED_AT_X8GL; exit 0; }
@@ -114,32 +142,6 @@ for S in 8 16; do
       --no-save --json $CK/x${S}_holdout_qat_static_gl5_int8_tta8_eval.json
 done
 mark STATIC_DONE
-
-# ---- 5. shipping-mean upgrade attempt: 20k gl retrain on all 10 from the
-# repaired ship2r (kept only if it passes the per-image regression gate
-# against ship2r/ship2 — check_regression enforces PARITY.md's rule)
-stop_requested && { echo STOPPED_AT_SHIPUP; exit 0; }
-BASE=$CK/x4_ship2r_qat_static.npz
-BASE_EVAL=$CK/x4_ship2r_qat_static_int8_eval.json
-[ -f "$BASE" ] || { BASE=$CK/x4_ship2_qat_static.npz; \
-  BASE_EVAL=$CK/x4_ship2_qat_static_int8_eval.json; }
-if [ ! -f $CK/x4_ship4.npz ]; then
-run train --scale 4 --augment full --grad-loss 1.0 --patch 96 --batch 16 \
-    --steps 20000 --warmup 500 --lr 1e-4 --seed 43 \
-    --ckpt-in "$BASE" --ckpt-out $CK/x4_ship4.npz
-fi
-run train --scale 4 --qat --steps 2000 --lr 3e-5 --warmup 50 \
-    --ckpt-in $CK/x4_ship4.npz --ckpt-out $CK/x4_ship4_qat.npz
-run train --scale 4 --qat-static --steps 1500 --lr 3e-5 --warmup 50 \
-    --ckpt-in $CK/x4_ship4_qat.npz --ckpt-out $CK/x4_ship4_qat_static.npz
-run eval --scale 4 --ckpt $CK/x4_ship4_qat_static.npz --dtype int8 \
-    --no-save --json $CK/x4_ship4_qat_static_int8_eval.json
-run eval --scale 4 --ckpt $CK/x4_ship4_qat_static.npz --dtype int8 --tta8 \
-    --no-save --json $CK/x4_ship4_qat_static_int8_tta8_eval.json
-python scripts/check_regression.py "$BASE_EVAL" \
-    $CK/x4_ship4_qat_static_int8_eval.json && echo SHIP4_GATE_PASSED \
-    || echo SHIP4_GATE_FAILED
-mark SHIPUP_DONE
 
 timeout 1800 python bench.py
 echo SESSION4_DONE

@@ -53,6 +53,25 @@ python scripts/check_regression.py \
     || echo SHIP4_GATE_FAILED
 mark SHIP4_DONE
 
+# ---- 0b. item 4, two cheap arms on the best-quantizing ancestry (the
+# 1.805 plain record came from qat_b -> 1.5k-step static): (A) an
+# RMSE-aligned l2-loss static phase — the l2 FLOAT polish was a measured
+# negative (plain 1.914 vs gl10 1.830) but the static phase is where
+# plain-int8 quality is decided and has only ever used l1; (B) a longer
+# (4k-step) static phase from the same ancestor.
+stop_requested && { echo STOPPED_AT_ITEM4_ARMS; exit 0; }
+run train --scale 4 --exclude $EX --qat-static --loss l2 --steps 1500 \
+    --lr 3e-5 --warmup 50 --ckpt-in $CK/x4_holdout_qat_b.npz \
+    --ckpt-out $CK/x4_holdout_qat_static_bl2.npz
+run eval --scale 4 --ckpt $CK/x4_holdout_qat_static_bl2.npz --dtype int8 \
+    --no-save --json $CK/x4_holdout_qat_static_bl2_int8_eval.json
+run train --scale 4 --exclude $EX --qat-static --steps 4000 \
+    --lr 3e-5 --warmup 50 --ckpt-in $CK/x4_holdout_qat_b.npz \
+    --ckpt-out $CK/x4_holdout_qat_static_b4k.npz
+run eval --scale 4 --ckpt $CK/x4_holdout_qat_static_b4k.npz --dtype int8 \
+    --no-save --json $CK/x4_holdout_qat_static_b4k_int8_eval.json
+mark ITEM4_ARMS_DONE
+
 # ---- 1. x8 gl member on top of the f5 best (mirrors the winning x4/x16
 # recipe: grad-loss fine-tune of the strongest member)
 stop_requested && { echo STOPPED_AT_X8GL; exit 0; }

@@ -70,6 +70,12 @@ run train --scale 4 --exclude $EX --qat-static --steps 4000 \
     --ckpt-out $CK/x4_holdout_qat_static_b4k.npz
 run eval --scale 4 --ckpt $CK/x4_holdout_qat_static_b4k.npz --dtype int8 \
     --no-save --json $CK/x4_holdout_qat_static_b4k_int8_eval.json
+# (C) plain no-TTA int8 ensemble of the two best static members — the
+# only untried no-TTA int8-static config (2x compute, still plain path)
+run eval --scale 4 --variant codon,codon \
+    --ckpt $CK/x4_holdout_qat_static_b.npz,$CK/x4_holdout_qat_static_glnh.npz \
+    --dtype int8 --no-save \
+    --json $CK/x4_holdout_qat_static_ens2bg_int8_plain_eval.json
 mark ITEM4_ARMS_DONE
 
 # ---- 1. x8 gl member on top of the f5 best (mirrors the winning x4/x16

@@ -28,11 +28,12 @@ WARMUP, ITERS = 3, 10
 VARIANT = "codon"             # X4/X8 flagship flavor (incl. dead heads)
 _CKPT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "checkpoints")
-# prefer the round-3 generation (18-site grid incl. the int8 gate/stem
-# handoffs -> less HBM traffic in the non-conv passes); x4_ship2 is the
-# quality-best shipping static checkpoint (1.749 plain int8, beats the
-# reference archived mean 1.778 on the fast path)
+# prefer the newest shipping generation (18-site grid incl. the int8
+# gate/stem handoffs -> less HBM traffic in the non-conv passes);
+# x4_ship4 is the quality-best shipping static checkpoint (1.344 plain
+# int8 vs the reference archived mean 1.778, per-image gate passed)
 QAT_CKPT = next((p for p in (
+    os.path.join(_CKPT_DIR, "x4_ship4_qat_static.npz"),
     os.path.join(_CKPT_DIR, "x4_ship2_qat_static.npz"),
     os.path.join(_CKPT_DIR, "x4_qat_static2.npz"),
     os.path.join(_CKPT_DIR, "x4_qat_static.npz")) if os.path.exists(p)),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -724,7 +725,18 @@ def cmd_train(args) -> int:
             if not _ or not k.strip():
                 raise SystemExit(f"--scene-weight expects Name=W[,..], "
                                  f"got {item!r}")
-            wmap[k.strip()] = float(v)
+            try:
+                w = float(v)
+            except ValueError:
+                raise SystemExit(f"--scene-weight: bad weight {v!r} "
+                                 f"for {k.strip()!r}")
+            if not math.isfinite(w) or w < 0:
+                # NaN would sail through PatchSampler's sum/negativity
+                # guards and only blow up in the prefetch worker
+                raise SystemExit(f"--scene-weight: weight for "
+                                 f"{k.strip()!r} must be finite and "
+                                 f">= 0, got {w}")
+            wmap[k.strip()] = w
         unknown = set(wmap) - set(pair_names)
         if unknown:
             raise SystemExit(f"--scene-weight names not in the training "

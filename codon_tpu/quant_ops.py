@@ -390,12 +390,16 @@ class _StaticFakeQuantMixin:
             return x
         return _fq(x, sc, clipped_ste=False)
 
-    def _fq_site(self, x, w, sc):
+    def _fq_site(self, x, w, sc, x_scale=None):
         """Fake-quantize (x, w) for one conv site on the frozen grid
         (clipped STE for activations), or the dynamic grid when the site
-        is uncalibrated."""
+        is uncalibrated. `x_scale` overrides the dynamic activation scale
+        for that fallback (the sharded twin passes the sp-gathered scale
+        so tiled == untiled)."""
         if sc is None:
-            xq = _fq(x, _x_scale(x).astype(jnp.float32))
+            if x_scale is None:
+                x_scale = _x_scale(x).astype(jnp.float32)
+            xq = _fq(x, x_scale)
             wq = _fq(w, _w_scales(w)[None, None, None, :])
         else:
             xq = _fq(x, sc, clipped_ste=True)
@@ -476,13 +480,12 @@ class FakeQuantStaticShardedOps(_StaticFakeQuantMixin, ShardedOps):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
         sc = _site_scale(self.act_scales, name, groups)
-        if sc is None:
-            # uncalibrated-site dynamic fallback: the scale must still be
-            # shared across shards for tiled == untiled
-            xq = _fq(x, _gathered_sample_scale(x, self.axis_name))
-            wq = _fq(w, _w_scales(w)[None, None, None, :])
-        else:
-            xq, wq = self._fq_site(x, w, sc)
+        # uncalibrated-site dynamic fallback: the activation scale must
+        # still be shared across shards for tiled == untiled
+        xq, wq = self._fq_site(
+            x, w, sc,
+            x_scale=(None if sc is not None else
+                     _gathered_sample_scale(x, self.axis_name)))
         return super().conv2d(xq, wq, padding=padding, mask=mask,
                               groups=groups)
 

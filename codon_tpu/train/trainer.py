@@ -87,7 +87,10 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
     With `mesh`, the forward runs shard_map'd over (dp, sp); put batch
     arrays with NamedSharding(mesh, P('dp','sp')) for zero resharding.
     `ops`: optional Ops backend override (e.g. quant_ops.FakeQuantOps for
-    QAT); single-device path only.
+    QAT). With a mesh, FakeQuantOps / FakeQuantStaticOps are mapped to
+    their sharded twins (per-sample dynamic scales get an sp all-reduce;
+    frozen static grids need none) so the sharded QAT step matches the
+    single-device one; other backends raise NotImplementedError.
     """
     tx = make_optimizer(cfg)
 
@@ -102,10 +105,19 @@ def make_train_step(variant, cfg: TrainConfig = TrainConfig(), mesh=None,
                 scales = ops.act_scales
 
                 def ops_factory(axis_name, **kw):
+                    # the twin must match the single-device instance's
+                    # numerics exactly, not the variant dtype policy's
+                    # (kw carries the policy's acc_dtype/precision)
+                    del kw
                     return quant_ops.FakeQuantStaticShardedOps(
-                        scales, axis_name=axis_name, **kw)
+                        scales, axis_name=axis_name,
+                        acc_dtype=ops.acc_dtype, precision=ops.precision)
             elif isinstance(ops, quant_ops.FakeQuantOps):
-                ops_factory = quant_ops.FakeQuantShardedOps
+                def ops_factory(axis_name, **kw):
+                    del kw
+                    return quant_ops.FakeQuantShardedOps(
+                        axis_name, acc_dtype=ops.acc_dtype,
+                        precision=ops.precision)
             else:
                 raise NotImplementedError(
                     f"make_train_step: no sharded twin for ops backend "

@@ -570,6 +570,39 @@ def cmd_eval(args) -> int:
             log_ctx.__exit__(None, None, None)
 
 
+def parse_scene_weights(spec, pair_names):
+    """Parse `--scene-weight "Name=W[,Name=W...]"` into a weight list
+    aligned with `pair_names` (1.0 where unnamed), or None for an empty
+    spec. Validates eagerly — malformed entries, non-finite or negative
+    weights, and unknown scene names all SystemExit BEFORE training
+    starts (a NaN weight sails through PatchSampler's sum/negativity
+    guards and would only blow up in the prefetch worker after dataset
+    load and jit setup)."""
+    if not spec:
+        return None
+    wmap = {}
+    for item in spec.split(","):
+        k, sep, v = item.partition("=")
+        if not sep or not k.strip():
+            raise SystemExit(f"--scene-weight expects Name=W[,..], "
+                             f"got {item!r}")
+        try:
+            w = float(v)
+        except ValueError:
+            raise SystemExit(f"--scene-weight: bad weight {v!r} "
+                             f"for {k.strip()!r}")
+        if not math.isfinite(w) or w < 0:
+            raise SystemExit(f"--scene-weight: weight for {k.strip()!r} "
+                             f"must be finite and >= 0, got {w}")
+        wmap[k.strip()] = w
+    unknown = set(wmap) - set(pair_names)
+    if unknown:
+        raise SystemExit(f"--scene-weight names not in the training "
+                         f"set: {sorted(unknown)}")
+    print(f"scene weights: {wmap} over {len(pair_names)} pairs")
+    return [wmap.get(n, 1.0) for n in pair_names]
+
+
 def cmd_train(args) -> int:
     import jax
     from codon_tpu.checkpoint import load_npz, save_npz
@@ -717,32 +750,8 @@ def cmd_train(args) -> int:
                              total_steps=args.steps), ops=qat_ops)
     opt_state = tx.init(params)
 
-    scene_weights = None
-    if getattr(args, "scene_weight", None):
-        wmap = {}
-        for item in args.scene_weight.split(","):
-            k, _, v = item.partition("=")
-            if not _ or not k.strip():
-                raise SystemExit(f"--scene-weight expects Name=W[,..], "
-                                 f"got {item!r}")
-            try:
-                w = float(v)
-            except ValueError:
-                raise SystemExit(f"--scene-weight: bad weight {v!r} "
-                                 f"for {k.strip()!r}")
-            if not math.isfinite(w) or w < 0:
-                # NaN would sail through PatchSampler's sum/negativity
-                # guards and only blow up in the prefetch worker
-                raise SystemExit(f"--scene-weight: weight for "
-                                 f"{k.strip()!r} must be finite and "
-                                 f">= 0, got {w}")
-            wmap[k.strip()] = w
-        unknown = set(wmap) - set(pair_names)
-        if unknown:
-            raise SystemExit(f"--scene-weight names not in the training "
-                             f"set: {sorted(unknown)}")
-        scene_weights = [wmap.get(n, 1.0) for n in pair_names]
-        print(f"scene weights: {wmap} over {len(pair_names)} pairs")
+    scene_weights = parse_scene_weights(
+        getattr(args, "scene_weight", None), pair_names)
     sampler_src = PatchSampler(labels, colors, scale=args.scale,
                                patch=args.patch, batch=args.batch,
                                seed=args.seed, augment=args.augment,

@@ -500,3 +500,19 @@ def test_eval_ensemble(tmp_path):
                           "--out", str(tmp_path / "o3")])
     assert rc == 0
     assert json.load(open(je))["mean_rmse"] > 0
+
+
+def test_parse_scene_weights_validation():
+    """--scene-weight must reject bad input BEFORE training starts: a NaN
+    weight passes PatchSampler's guards and only detonates in the
+    prefetch worker (round-4 review finding)."""
+    names = ["Art", "Cones", "Books"]
+    assert cli.parse_scene_weights(None, names) is None
+    assert cli.parse_scene_weights("", names) is None
+    assert cli.parse_scene_weights("Art=3", names) == [3.0, 1.0, 1.0]
+    assert cli.parse_scene_weights("Cones=2,Books=0.5", names) == \
+        [1.0, 2.0, 0.5]
+    for bad in ("Art", "Art=", "=2", "Art=abc", "Art=nan", "Art=inf",
+                "Art=-1", "NotAScene=2"):
+        with pytest.raises(SystemExit):
+            cli.parse_scene_weights(bad, names)

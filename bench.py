@@ -24,6 +24,7 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 0.030  # torch-CPU reference, BASELINE.md
 H, W = 370, 463               # Art.png eval size
 BATCH = 32                    # int8-static sweet spot (b16: 69.5, b32: 81.7)
+BF16_BATCH = 16               # bf16 sweet spot (52.7 img/s, ~96% MXU)
 WARMUP, ITERS = 3, 10
 VARIANT = "codon"             # X4/X8 flagship flavor (incl. dead heads)
 _CKPT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -68,30 +69,54 @@ def main() -> None:
     import jax.numpy as jnp
     ops = Int8StaticOps(act_scales, compute_dtype=jnp.bfloat16)
 
-    depth = jax.device_put(rng.rand(BATCH, H, W, 1).astype(np.float32))
-    color = jax.device_put(rng.rand(BATCH, H, W, 1).astype(np.float32))
-    fwd = jax.jit(lambda p, d, c: variant.forward(p, d, c, ops=ops))
-
     def sync(x):
         # On the tunneled axon platform block_until_ready returns before
         # execution completes; a tiny D2H fetch is the reliable fence.
         return np.asarray(x[0, 0, 0, 0])
 
-    for _ in range(WARMUP):
-        sync(fwd(params, depth, color))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(params, depth, color)
-    sync(out)
-    dt = time.perf_counter() - t0
+    def time_fwd(fwd, p, batch, fence_every_iter=False):
+        """img/s over ITERS dispatches of a `batch`-image forward.
 
-    img_per_sec = BATCH * ITERS / dt
+        fence_every_iter=True syncs after every dispatch (no pipelining
+        credit — the honest latency shape); False fences once at the end
+        (the steady-state throughput shape the CLI pipeline achieves).
+        """
+        depth = jax.device_put(rng.rand(batch, H, W, 1).astype(np.float32))
+        color = jax.device_put(rng.rand(batch, H, W, 1).astype(np.float32))
+        for _ in range(WARMUP):
+            sync(fwd(p, depth, color))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fwd(p, depth, color)
+            if fence_every_iter:
+                sync(out)
+        if not fence_every_iter:
+            sync(out)
+        return batch * ITERS / (time.perf_counter() - t0)
+
+    fwd8 = jax.jit(lambda p, d, c: variant.forward(p, d, c, ops=ops))
+    img_per_sec = time_fwd(fwd8, params, BATCH)
+    # cross-check: per-iteration fences remove any dispatch-pipelining
+    # flattery from the 10-iter loop (VERDICT r4 weak #7)
+    img_per_sec_fenced = time_fwd(fwd8, params, BATCH,
+                                  fence_every_iter=True)
+    # batch-1 latency: the reference's actual usage pattern is per-image
+    # (/root/reference/CODON_X4/test.py:109-137); fenced per dispatch
+    b1_img_per_sec = time_fwd(fwd8, params, 1, fence_every_iter=True)
+
+    # bf16 reference point (pre-quantization deployment config)
+    fwd_bf16 = jax.jit(lambda p, d, c: variant.forward(p, d, c))
+    bf16_img_per_sec = time_fwd(fwd_bf16, params, BF16_BATCH)
+
     print(json.dumps({
         "metric": (f"{VARIANT}_inference_img_per_sec_"
                    f"{W}x{H}_int8static_b{BATCH}"),
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 1),
+        "b32_fenced_img_per_sec": round(img_per_sec_fenced, 3),
+        "b1_ms_per_img": round(1000.0 / b1_img_per_sec, 3),
+        "bf16_img_per_sec_b16": round(bf16_img_per_sec, 3),
     }))
 
 

@@ -133,6 +133,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "(unlisted scenes weigh 1.0), e.g. Art=3 to "
                         "oversample a scene a shipping fine-tune must "
                         "not regress")
+    t.add_argument("--collage", type=float, default=0.0,
+                   help="probability in [0,1] that a training patch gets "
+                        "a depth-collage paste from another scene "
+                        "(synthetic thin-structure discontinuities with "
+                        "seam-consistent degradation — the data-axis "
+                        "lever for texture-hard scenes)")
     t.add_argument("--augment", choices=("full", "flips", "none"),
                    default="full",
                    help="patch augmentation: full = flips+rot90+photometric"
@@ -594,6 +600,9 @@ def parse_scene_weights(spec, pair_names):
         if not math.isfinite(w) or w < 0:
             raise SystemExit(f"--scene-weight: weight for {k.strip()!r} "
                              f"must be finite and >= 0, got {w}")
+        if k.strip() in wmap:
+            raise SystemExit(f"--scene-weight: {k.strip()!r} appears "
+                             f"twice in the spec")
         wmap[k.strip()] = w
     unknown = set(wmap) - set(pair_names)
     if unknown:
@@ -757,7 +766,8 @@ def cmd_train(args) -> int:
                                seed=args.seed, augment=args.augment,
                                degraded=degraded if use_real else None,
                                edge_bias=getattr(args, "edge_bias", 0.0),
-                               scene_weights=scene_weights)
+                               scene_weights=scene_weights,
+                               collage=getattr(args, "collage", 0.0))
 
     mgr = None
     start_step = 0

@@ -468,14 +468,18 @@ def codon_forward_fused(params, depth, color, *,
     Weight packing happens at trace time from the SAME parameter pytree, so
     checkpoints are interchangeable between the two forwards.
 
-    Limits: the grouped convs carry no site names, so the static-int8
-    family has nothing to key scales on — this forward runs float (or
-    dynamic int8) only; the shipping int8-static path uses
-    `codon_forward` with packed cells, which was also measured FASTER
-    than this merged-tower lowering on v5e (grouped 4W convs tile worse
-    on the MXU than the packed C->2C cells). Kept as the reference-shaped
-    ablation point. `color_cat_swapped` is not lowered here (the cell
-    concat order is hardcoded) and raises.
+    The grouped convs carry COMPOUND site names ("conv3+conv6": one
+    standard site per group), so the static-int8 family quantizes this
+    forward too: quant_ops._site_scale concatenates the parts' calibrated
+    per-channel scales (routing conv1/conv2/conv4/conv5/conv8/conv9
+    through the packed_d/packed_c/packed_f aliases — the packed sites
+    saw the identical input tensors), and the weight fold maps scales
+    per group (quant_ops._scale_per_kernel_input). The shipping
+    int8-static path remains `codon_forward` with packed cells, which
+    was measured FASTER than this merged-tower lowering on v5e (grouped
+    4W convs tile worse on the MXU than the packed C->2C cells); kept as
+    the reference-shaped ablation point. `color_cat_swapped` is not
+    lowered here (the cell concat order is hardcoded) and raises.
     """
     if cfg.color_cat_swapped:
         raise NotImplementedError(
@@ -496,17 +500,19 @@ def codon_forward_fused(params, depth, color, *,
         y = y * mask
     p = params
 
-    def conv(wk, t):
-        return ops.conv2d(t, wk, mask=mask)
+    def conv(wk, t, site=None):
+        return ops.conv2d(t, wk, mask=mask, name=site)
 
     cat = lambda *ts: jnp.concatenate(ts, axis=-1)
     # grouped kernels: (kh, kw, C_in/groups, C_out) with O blocked per group;
     # the stems run grouped over the 2-channel [depth | color] stack
     stem_in = cat(x, y)                                # (N,H,W,2)
     k_in = jnp.concatenate([p["input"], p["input_c"]], axis=3)   # (3,3,1,128)
-    T = relu(ops.conv2d(stem_in, k_in, mask=mask, groups=2))
+    T = relu(ops.conv2d(stem_in, k_in, mask=mask, groups=2,
+                        name="input+input_c"))
     k_ci = jnp.concatenate([p["conv_input"], p["conv_input_c"]], axis=3)
-    inputs2 = relu(ops.conv2d(T, k_ci, mask=mask, groups=2))
+    inputs2 = relu(ops.conv2d(T, k_ci, mask=mask, groups=2,
+                              name="conv_input+conv_input_c"))
     T = inputs2
 
     k_3x3 = jnp.concatenate([p["conv1"], p["conv5"]], axis=3)   # (3,3,64,128)
@@ -517,14 +523,18 @@ def codon_forward_fused(params, depth, color, *,
     cac = p.get("cac") if cfg.use_cac else None
 
     for i in range(cfg.num_mc):
-        A = relu(ops.conv2d(T, k_3x3, mask=mask, groups=2))  # [d3|c3]
-        B = relu(ops.conv2d(T, k_5x5, mask=mask, groups=2))  # [d5|c5]
+        A = relu(ops.conv2d(T, k_3x3, mask=mask, groups=2,
+                            name="conv1+conv5"))              # [d3|c3]
+        B = relu(ops.conv2d(T, k_5x5, mask=mask, groups=2,
+                            name="conv2+conv4"))              # [d5|c5]
         # depth cell input cat(d3, d5); color cell input cat(c5, c3)
         # (reference cat orders: CODON_x4.py:79-80 — depth (conv1, conv2),
         #  color (conv4, conv5) = (5x5, 3x3))
         mixed = cat(A[..., :w], B[..., :w], B[..., w:], A[..., w:])
-        R2 = relu(ops.conv2d(mixed, k_big, mask=mask, groups=2))
-        T = ops.conv2d(R2, k_fuse1, mask=mask, groups=2)     # [out|out_c]
+        R2 = relu(ops.conv2d(mixed, k_big, mask=mask, groups=2,
+                             name="conv3+conv6"))
+        T = ops.conv2d(R2, k_fuse1, mask=mask, groups=2,
+                       name="confuse+confuse_c")             # [out|out_c]
 
         if cac is not None:
             out, out_c = T[..., :w], T[..., w:]
@@ -537,15 +547,17 @@ def codon_forward_fused(params, depth, color, *,
         T = T + inputs2
 
     # fusion trunk consumes cat(out, out_c) == T directly
-    fuse = relu(conv(p["conv7"], T))
+    fuse = relu(conv(p["conv7"], T, site="conv7"))
     out_f = fuse
     for _ in range(cfg.num_fuse):
-        f_cat = cat(relu(conv(p["conv8"], out_f)),
-                    relu(conv(p["conv9"], out_f)))
-        out_f = conv(p["confuse_fuse"], relu(conv(p["conv10"], f_cat))) + fuse
+        f_cat = cat(relu(conv(p["conv8"], out_f, site="conv8")),
+                    relu(conv(p["conv9"], out_f, site="conv9")))
+        out_f = conv(p["confuse_fuse"],
+                     relu(conv(p["conv10"], f_cat, site="conv10")),
+                     site="confuse_fuse") + fuse
 
-    out = relu(conv(p["conv11"], out_f))
-    return (conv(p["output"], out) + x).astype(jnp.float32)
+    out = relu(conv(p["conv11"], out_f, site="conv11"))
+    return (conv(p["output"], out, site="output") + x).astype(jnp.float32)
 
 
 def sequential_tower_forward(params, depth, color, *,

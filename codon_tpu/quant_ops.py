@@ -217,15 +217,68 @@ class Int8ShardedOps(ShardedOps):
 HANDOFF_SITES = ("gate_d", "gate_c", "stem_d", "stem_c", "fuse_r")
 
 
+# Grouped convs in the merged-tower forward (codon_forward_fused) carry
+# COMPOUND site names, one standard site per group ("conv3+conv6"): the
+# grouped input is the channel-concat of the standard sites' inputs, so
+# its per-channel scale is the concat of their calibrated scales. The
+# packed-cell shipping checkpoints calibrate the merged sites packed_d/
+# packed_c/packed_f instead of conv1/conv2 etc.; the alias map routes a
+# standard name to the packed site that saw the IDENTICAL input tensor.
+_SITE_ALIASES = {"conv1": "packed_d", "conv2": "packed_d",
+                 "conv4": "packed_c", "conv5": "packed_c",
+                 "conv8": "packed_f", "conv9": "packed_f"}
+
+
+def _lookup_site(act_scales, name):
+    sc = act_scales.get(name)
+    if sc is not None:
+        return sc
+    alias = _SITE_ALIASES.get(name)
+    return act_scales.get(alias) if alias else None
+
+
 def _site_scale(act_scales, name, groups):
-    if name is None or groups != 1:
+    """(C_in,) static scale for a conv site, or None (dynamic fallback).
+
+    Direct keys win (a calibration run on the grouped forward records the
+    compound name itself); otherwise a compound "a+b" name with one part
+    per group resolves to the concat of the parts' scales.
+    """
+    if name is None:
         return None
-    return act_scales.get(name)
+    direct = act_scales.get(name)
+    if direct is not None:
+        return direct
+    parts = name.split("+")
+    if len(parts) == 1:
+        return _lookup_site(act_scales, name) if groups == 1 else None
+    if len(parts) != max(groups, 1):
+        return None
+    scs = [_lookup_site(act_scales, p) for p in parts]
+    if any(s is None for s in scs):
+        return None
+    return jnp.concatenate([jnp.asarray(s, jnp.float32) for s in scs])
 
 
-def _fold_weights(w, sc):
+def _scale_per_kernel_input(sc, groups, cg, co):
+    """Map (C_in,) global act scales onto the (kh,kw,cg,co) kernel layout.
+
+    feature_group_count semantics: output channel o belongs to group
+    g = o // (co/groups), and its kernel input channel i reads global
+    input channel g*cg + i — so for grouped convs the fold factor depends
+    on the OUTPUT channel too.
+    """
+    if groups == 1:
+        return sc[None, None, :, None]
+    scg = jnp.reshape(sc, (groups, cg))            # (G, cg)
+    per_o = jnp.repeat(scg, co // groups, axis=0)  # (co, cg)
+    return per_o.T[None, None, :, :]               # (1, 1, cg, co)
+
+
+def _fold_weights(w, sc, groups=1):
     """Fold per-input-channel act scales into w; returns (w8, sw)."""
-    wf = w.astype(jnp.float32) * sc[None, None, :, None]
+    wf = w.astype(jnp.float32) * _scale_per_kernel_input(
+        sc, groups, w.shape[2], w.shape[3])
     sw = _w_scales(wf)
     w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
     return w8, sw
@@ -309,9 +362,10 @@ class Int8StaticOps(_StaticHandoffMixin, XlaOps):
             x8 = quantize_static(x, sc)
             out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                       else self.compute_dtype)
-        w8, sw = _fold_weights(w, sc)
+        w8, sw = _fold_weights(w, sc, groups)
         acc = lax.conv_general_dilated(
             x8, w8, (1, 1), padding, dimension_numbers=_DN,
+            feature_group_count=groups,
             preferred_element_type=out_dt)
         return self.apply_mask(acc * sw.astype(out_dt), mask)
 
@@ -360,9 +414,10 @@ class Int8StaticShardedOps(_StaticHandoffMixin, ShardedOps):
             out_dt = (x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                       else self.compute_dtype)
         x8h = _halo_exchange_h(x8, (kh - 1) // 2, self.axis_name)
-        w8, sw = _fold_weights(w, sc)
+        w8, sw = _fold_weights(w, sc, groups)
         acc = lax.conv_general_dilated(
             x8h, w8, (1, 1), wpad, dimension_numbers=_DN,
+            feature_group_count=groups,
             preferred_element_type=out_dt)
         return self.apply_mask(acc * sw.astype(out_dt), mask)
 
@@ -390,7 +445,7 @@ class _StaticFakeQuantMixin:
             return x
         return _fq(x, sc, clipped_ste=False)
 
-    def _fq_site(self, x, w, sc, x_scale=None):
+    def _fq_site(self, x, w, sc, x_scale=None, groups=1):
         """Fake-quantize (x, w) for one conv site on the frozen grid
         (clipped STE for activations), or the dynamic grid when the site
         is uncalibrated. `x_scale` overrides the dynamic activation scale
@@ -404,10 +459,11 @@ class _StaticFakeQuantMixin:
         else:
             xq = _fq(x, sc, clipped_ste=True)
             # weight grid of the deployed fold: sw_o / s_c per element
-            sw = _w_scales(w.astype(jnp.float32) *
-                           sc[None, None, :, None])
-            wq = _fq(w, (sw[None, None, None, :] /
-                         sc[None, None, :, None]))
+            # (group-mapped for grouped convs)
+            sk = _scale_per_kernel_input(sc, groups, w.shape[2],
+                                         w.shape[3])
+            sw = _w_scales(w.astype(jnp.float32) * sk)
+            wq = _fq(w, sw[None, None, None, :] / sk)
         return xq, wq
 
 
@@ -433,7 +489,7 @@ class FakeQuantStaticOps(_StaticFakeQuantMixin, XlaOps):
             return super().conv2d(x, w, padding=padding, mask=mask,
                                   groups=groups)
         xq, wq = self._fq_site(x, w, _site_scale(self.act_scales, name,
-                                                 groups))
+                                                 groups), groups=groups)
         out = conv2d_nhwc(xq, wq, padding=padding, groups=groups,
                           precision=self.precision)
         return self.apply_mask(out, mask)
@@ -485,7 +541,8 @@ class FakeQuantStaticShardedOps(_StaticFakeQuantMixin, ShardedOps):
         xq, wq = self._fq_site(
             x, w, sc,
             x_scale=(None if sc is not None else
-                     _gathered_sample_scale(x, self.axis_name)))
+                     _gathered_sample_scale(x, self.axis_name)),
+            groups=groups)
         return super().conv2d(xq, wq, padding=padding, mask=mask,
                               groups=groups)
 
@@ -509,7 +566,9 @@ class CalibrationOps(XlaOps):
 
     def conv2d(self, x, w, *, padding="SAME", mask=None, groups=1,
                name=None):
-        if name is not None and groups == 1 and not _skip_quant(w):
+        # grouped sites record too (under their compound name): the
+        # (C_in,) global absmax quantizes grouped convs the same way
+        if name is not None and not _skip_quant(w):
             self._record(name, x)
         return super().conv2d(x, w, padding=padding, mask=mask,
                               groups=groups)

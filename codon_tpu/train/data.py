@@ -69,6 +69,18 @@ class PatchSampler:
     # optional per-image sampling weights (oversampling — e.g. upweight a
     # scene a shipping fine-tune must not regress); None = uniform
     scene_weights: List[float] = None
+    # probability that a sampled patch gets a DEPTH-COLLAGE paste: a crop
+    # from another scene's (label, color) is pasted as a rectangle, and
+    # the degraded input is REPAIRED in a band around the paste seam by
+    # re-synthesizing the bicubic degradation of the composite label
+    # there (away from the seam each side keeps its shipped degradation —
+    # the pyramid experiment showed whole-image re-synthesis mismatches
+    # the shipped input_depth distribution). The paste seam is a synthetic
+    # depth discontinuity WITH an aligned guidance edge — the structure
+    # class (thin foreground objects over distant backgrounds: Art's
+    # brushes, Cones' lattice) that 7-scene training sets under-serve
+    # (ART_CONES.md; VERDICT r4 next-round item 1, data axis)
+    collage: float = 0.0
 
     def __post_init__(self):
         import cv2
@@ -176,6 +188,8 @@ class PatchSampler:
             lp = lab[y:y + P, x:x + P].astype(np.float32) / 255.0
             cp = col[y:y + P, x:x + P].astype(np.float32) / 255.0
             dp = deg[y:y + P, x:x + P].astype(np.float32) / 255.0
+            if self.collage and rng.rand() < self.collage:
+                lp, cp, dp = self._collage(rng, lp, cp, dp)
             aug = self.augment if isinstance(self.augment, str) else (
                 "flips" if self.augment else "none")
             if aug != "none":
@@ -205,6 +219,63 @@ class PatchSampler:
             label[b, ..., 0] = lp
         return {"depth": depth, "color": color, "label": label,
                 "mask": np.ones((B, P, P, 1), np.float32)}
+
+    def _collage(self, rng, lp, cp, dp):
+        """Depth-collage paste (see the `collage` field doc).
+
+        Pastes a rectangle of another scene's (label, guidance) into the
+        patch, then repairs the degraded input in a band of 2*scale px
+        around the seam with the re-synthesized degradation of the
+        COMPOSITE label — the seam gets the bicubic blur a real degraded
+        input would have there, while pixels away from it keep their
+        shipped degradation. Donor crops are edge-biased like patch
+        corners when edge_bias is on (thin structures are the point).
+        """
+        P = self.patch
+        # CutMix-style rectangle: 15-45% of the patch area
+        area = rng.uniform(0.15, 0.45) * P * P
+        ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0)))
+        rh = int(np.clip(np.sqrt(area * ar), 4, P))
+        rw = int(np.clip(np.sqrt(area / ar), 4, P))
+        ty = rng.randint(P - rh + 1)
+        tx = rng.randint(P - rw + 1)
+
+        # donor: any scene at pyramid level 0, crop edge-biased when
+        # the sampler is (donor seams should cut THROUGH structure)
+        j = rng.randint(len(self.labels))
+        labs, cols, _ = self._levels[0]
+        dl, dc = labs[j], cols[j]
+        dh, dw = dl.shape
+        sy, sx = self._corner(rng, 0, j, dh, dw)
+        sy = min(sy, dh - rh)
+        sx = min(sx, dw - rw)
+
+        lp = lp.copy()
+        cp = cp.copy()
+        lp[ty:ty + rh, tx:tx + rw] = (
+            dl[sy:sy + rh, sx:sx + rw].astype(np.float32) / 255.0)
+        cp[ty:ty + rh, tx:tx + rw] = (
+            dc[sy:sy + rh, sx:sx + rw].astype(np.float32) / 255.0)
+
+        # paste the donor's own shipped/base degradation inside the
+        # rectangle, then repair the seam band from the composite label
+        deg_j = self._levels[0][2][j]
+        dp = dp.copy()
+        dp[ty:ty + rh, tx:tx + rw] = (
+            deg_j[sy:sy + rh, sx:sx + rw].astype(np.float32) / 255.0)
+        lab8 = np.clip(np.rint(lp * 255.0), 0, 255).astype(np.uint8)
+        resyn = synthesize_lr(lab8, self.scale).astype(np.float32) / 255.0
+        band = 2 * self.scale
+        seam = np.zeros((P, P), bool)
+        y0, y1 = max(0, ty - band), min(P, ty + rh + band)
+        x0, x1 = max(0, tx - band), min(P, tx + rw + band)
+        seam[y0:y1, x0:x1] = True
+        iy0, iy1 = ty + band, ty + rh - band
+        ix0, ix1 = tx + band, tx + rw - band
+        if iy1 > iy0 and ix1 > ix0:
+            seam[iy0:iy1, ix0:ix1] = False   # rectangle interior keeps
+        dp[seam] = resyn[seam]               # its shipped degradation
+        return lp, cp, dp
 
     def _corner(self, rng, level: int, img: int, h: int, w: int):
         """Top-left patch corner: uniform, or (with prob edge_bias) jittered

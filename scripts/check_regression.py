@@ -35,10 +35,16 @@ def main() -> int:
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
-    common = sorted(set(old["per"]) & set(new["per"]))
-    if not common:
-        print("no common images between the two evals", file=sys.stderr)
+    if set(old["per"]) != set(new["per"]):
+        # A refresh evaluated on a subset could otherwise pass while
+        # hiding a regression on the images it skipped.
+        only_old = sorted(set(old["per"]) - set(new["per"]))
+        only_new = sorted(set(new["per"]) - set(old["per"]))
+        print(f"image sets differ (only in old: {only_old}, "
+              f"only in new: {only_new}) — gate requires identical sets",
+              file=sys.stderr)
         return 1
+    common = sorted(old["per"])
     bad = []
     for name in common:
         o, n = old["per"][name], new["per"][name]

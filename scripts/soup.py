@@ -35,6 +35,9 @@ def main():
         if len(w) != len(trees):
             raise SystemExit(f"--w has {len(w)} entries for "
                              f"{len(trees)} members")
+        if not ((w >= 0).all() and w.sum() > 0):
+            raise SystemExit(f"--w weights must be >= 0 with a positive "
+                             f"sum, got {w.tolist()}")
     else:
         w = np.ones(len(trees), dtype=np.float64)
     w = w / w.sum()
@@ -52,6 +55,15 @@ def main():
     out_leaves = []
     for i, leaf in enumerate(leaves0):
         arrs = [np.asarray(leaf)] + [np.asarray(ls[i]) for ls in rest]
+        for a in arrs[1:]:
+            # identical treedefs still allow broadcastable float leaves
+            # ((C,) vs (1,C)) or dtype drift to average into a silently
+            # corrupt checkpoint
+            if a.shape != arrs[0].shape or a.dtype != arrs[0].dtype:
+                raise SystemExit(
+                    f"leaf {i}: shape/dtype mismatch across members "
+                    f"({arrs[0].shape}/{arrs[0].dtype} vs "
+                    f"{a.shape}/{a.dtype})")
         if not np.issubdtype(arrs[0].dtype, np.floating):
             for a in arrs[1:]:
                 if not np.array_equal(arrs[0], a):

@@ -513,6 +513,6 @@ def test_parse_scene_weights_validation():
     assert cli.parse_scene_weights("Cones=2,Books=0.5", names) == \
         [1.0, 2.0, 0.5]
     for bad in ("Art", "Art=", "=2", "Art=abc", "Art=nan", "Art=inf",
-                "Art=-1", "NotAScene=2"):
+                "Art=-1", "NotAScene=2", "Art=1,Art=2"):
         with pytest.raises(SystemExit):
             cli.parse_scene_weights(bad, names)

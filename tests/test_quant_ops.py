@@ -138,6 +138,81 @@ def test_static_conv_exact_fold():
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+def test_static_grouped_conv_matches_split():
+    """groups=2 static int8 with a compound site name == the two standard
+    convs it merges, each quantized on its own site's scales (the
+    merged-tower lowering of VERDICT r4 item 6). Also: fake-quant ==
+    real int8 at the grouped op level."""
+    from codon_tpu.quant_ops import FakeQuantStaticOps, Int8StaticOps
+    rng = np.random.RandomState(7)
+    xa = rng.randn(2, 13, 11, 64).astype(np.float32)
+    xb = (3.0 * rng.randn(2, 13, 11, 64)).astype(np.float32)  # distinct range
+    wa = (rng.randn(3, 3, 64, 48) * 0.1).astype(np.float32)
+    wb = (rng.randn(3, 3, 64, 48) * 0.3).astype(np.float32)
+    sca = np.abs(xa).max(axis=(0, 1, 2)) / 127.0
+    scb = np.abs(xb).max(axis=(0, 1, 2)) / 127.0
+    scales = {"a": sca, "b": scb}
+    ops = Int8StaticOps(scales)
+
+    ya = np.asarray(ops.conv2d(jnp.asarray(xa), jnp.asarray(wa), name="a"))
+    yb = np.asarray(ops.conv2d(jnp.asarray(xb), jnp.asarray(wb), name="b"))
+    xg = jnp.concatenate([jnp.asarray(xa), jnp.asarray(xb)], axis=-1)
+    wg = jnp.concatenate([jnp.asarray(wa), jnp.asarray(wb)], axis=3)
+    yg = np.asarray(ops.conv2d(xg, wg, groups=2, name="a+b"))
+    np.testing.assert_allclose(yg, np.concatenate([ya, yb], axis=-1),
+                               atol=1e-4, rtol=1e-4)
+
+    fq = np.asarray(FakeQuantStaticOps(scales).conv2d(xg, wg, groups=2,
+                                                      name="a+b"))
+    np.testing.assert_allclose(fq, yg, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_forward_int8_static_from_standard_calibration():
+    """codon_fused runs the static int8 path off scales calibrated on the
+    STANDARD packed forward: compound site names resolve through the
+    packed_d/packed_c/packed_f aliases + per-part concat, so shipped
+    QAT-static checkpoints serve the merged-tower lowering without
+    recalibration. Output must track the standard static int8 forward
+    (same grids; conv sum order differs across the group boundary)."""
+    from codon_tpu.quant_ops import Int8StaticOps
+    v = get_variant("codon")
+    vf = get_variant("codon_fused")
+    params = jax.tree.map(lambda w: w * 0.5, v.init(jax.random.PRNGKey(5)))
+    d, c = _data(5)
+    scales = _calibrated(v, params, [(d, c, None)])
+    q_std = np.asarray(v.forward(params, d, c, ops=Int8StaticOps(scales)))
+    q_fused = np.asarray(vf.forward(params, d, c,
+                                    ops=Int8StaticOps(scales)))
+    f_std = np.asarray(v.forward(params, d, c))
+    # identical ACTIVATION grids, but the two lowerings round WEIGHTS on
+    # different grids (packed C->2C kernels vs grouped [a|b] kernels have
+    # different per-output-channel sw) and only the standard path applies
+    # the roundtrip handoffs — so assert same-numerics-class, not bitwise:
+    # fused-vs-standard must sit within the int8-vs-float error band
+    d_low = np.abs(q_fused - q_std).mean()
+    d_float = np.abs(q_std - f_std).mean() + 1e-8
+    assert d_low < 1.5 * d_float, (d_low, d_float)
+    rel = np.abs(q_fused - f_std).mean() / (np.abs(f_std).mean() + 1e-8)
+    assert rel < 0.25, rel
+
+
+def test_fused_forward_calibrates_own_sites():
+    """Calibrating ON the fused forward records the compound grouped
+    sites directly; the direct keys then win over alias resolution."""
+    vf = get_variant("codon_fused")
+    params = jax.tree.map(lambda w: w * 0.5,
+                          get_variant("codon").init(jax.random.PRNGKey(6)))
+    d, c = _data(6)
+    scales = _calibrated(vf, params, [(d, c, None)])
+    assert "conv3+conv6" in scales and scales["conv3+conv6"].shape == (256,)
+    assert "conv1+conv5" in scales and scales["conv1+conv5"].shape == (128,)
+    from codon_tpu.quant_ops import Int8StaticOps
+    q = np.asarray(vf.forward(params, d, c, ops=Int8StaticOps(scales)))
+    f = np.asarray(vf.forward(params, d, c))
+    rel = np.abs(q - f).mean() / (np.abs(f).mean() + 1e-8)
+    assert rel < 0.25, rel
+
+
 def test_static_model_close_to_float():
     """Calibrated static int8 stays in the same accuracy class as dynamic
     int8 on an untrained net (QAT closes the rest)."""

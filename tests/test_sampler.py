@@ -114,3 +114,38 @@ def test_orbax_resume_reproduces_uninterrupted(tmp_path):
     for (pa, va), (_, vb) in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                       err_msg=jax.tree_util.keystr(pa))
+
+
+def test_collage_paste_deterministic_and_consistent():
+    """collage: pure in (seed, step); pastes donor label+guidance content;
+    keeps every channel in [0,1]; repairs the seam band of the degraded
+    input from the composite label (the re-synthesized band must differ
+    from the naive paste of shipped degradations)."""
+    # distinct value ranges so pasted content is detectable
+    labs = [np.full((60, 50), 230, np.uint8), np.full((60, 50), 20, np.uint8)]
+    cols = [np.full((60, 50), 200, np.uint8), np.full((60, 50), 40, np.uint8)]
+    s = PatchSampler(labs, cols, scale=4, patch=32, batch=8, collage=1.0,
+                     augment="none")
+    a1, a2 = s.sample_at(3), s.sample_at(3)
+    for k in a1:
+        np.testing.assert_array_equal(a1[k], a2[k])
+    for k in ("depth", "color", "label"):
+        assert a1[k].min() >= 0.0 and a1[k].max() <= 1.0
+
+    # flat scenes at 230/20: any patch whose label contains BOTH ranges
+    # got a cross-scene paste; its degraded input must carry bicubic blur
+    # at the seam (values strictly between the two plateaus)
+    crossed = 0
+    for b in range(8):
+        lab = a1["label"][b, ..., 0]
+        lo, hi = lab.min(), lab.max()
+        if hi - lo > 0.5:
+            crossed += 1
+            dp = a1["depth"][b, ..., 0]
+            mid = ((dp > lo + 0.1) & (dp < hi - 0.1)).sum()
+            assert mid > 0, "no bicubic seam blur in the degraded input"
+    assert crossed > 0, "collage=1.0 never pasted across scenes"
+
+    off = PatchSampler(labs, cols, scale=4, patch=32, batch=8,
+                       augment="none").sample_at(3)
+    assert not np.array_equal(off["label"], a1["label"])

@@ -81,6 +81,19 @@ def test_gate_rejects_disjoint_image_sets(tmp_path):
     assert _gate(old, new).returncode == 1
 
 
+def test_gate_rejects_partial_overlap(tmp_path):
+    # A refresh evaluated on a SUBSET of the old images must not pass by
+    # silently dropping the missing ones (round-4 advisor finding) —
+    # and extra images in the new eval are rejected symmetrically.
+    old = _eval_json(tmp_path / "old.json",
+                     {"Art": 2.0, "Cones": 2.0, "Books": 2.0})
+    new = _eval_json(tmp_path / "new.json", {"Art": 1.0, "Cones": 1.0})
+    r = _gate(old, new)
+    assert r.returncode == 1
+    assert "identical sets" in r.stderr
+    assert _gate(new, old).returncode == 1
+
+
 def _soup(out, members, *extra):
     return subprocess.run(
         [sys.executable, os.path.join(SCRIPTS, "soup.py"),
@@ -125,3 +138,23 @@ def test_soup_rejects_structure_mismatch_and_int_leaf_drift(tmp_path):
     save_npz(pc, {"w": np.ones((2,), np.float32),
                   "n": np.array([4], np.int32)})  # int leaf differs
     assert _soup(str(tmp_path / "o2.npz"), [pa, pc]).returncode != 0
+
+
+def test_soup_rejects_bad_weights_and_leaf_shape_drift(tmp_path):
+    """Round-4 advisor findings: a zero-sum --w spec divided by zero into
+    an all-NaN soup; broadcastable-but-mismatched float leaves ((1,C) vs
+    (C,)) averaged into a silently corrupt checkpoint."""
+    from codon_tpu.checkpoint import save_npz
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_npz(pa, {"w": np.ones((3,), np.float32)})
+    save_npz(pb, {"w": np.full((3,), 2.0, np.float32)})
+    for bad_w in ("0,0", "-1,2"):
+        r = _soup(str(tmp_path / "o.npz"), [pa, pb], "--w", bad_w)
+        assert r.returncode != 0, bad_w
+
+    pc = str(tmp_path / "c.npz")
+    save_npz(pc, {"w": np.ones((1, 3), np.float32)})  # broadcastable shape
+    assert _soup(str(tmp_path / "o2.npz"), [pa, pc]).returncode != 0
+    pd = str(tmp_path / "d.npz")
+    save_npz(pd, {"w": np.ones((3,), np.float64)})  # dtype drift
+    assert _soup(str(tmp_path / "o3.npz"), [pa, pd]).returncode != 0

@@ -81,6 +81,9 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="full dihedral self-ensemble (the 4 flips plus "
                         "their transposes, 8 transforms, 8x compute); "
                         "implies --tta")
+    e.add_argument("--scale-cond", action="store_true",
+                   help="append the constant scale/16 conditioning "
+                        "channel to the depth input (codon_sc variants)")
     e.add_argument("--device-metrics", action="store_true",
                    help="compute RMSE/SSIM on device inside the forward jit "
                         "(scalars are the only D2H traffic; RMSE exact, "
@@ -139,6 +142,12 @@ def _build_argparser() -> argparse.ArgumentParser:
                         "(synthetic thin-structure discontinuities with "
                         "seam-consistent degradation — the data-axis "
                         "lever for texture-hard scenes)")
+    t.add_argument("--scale-cond", action="store_true",
+                   help="append a constant scale/16 channel to the depth "
+                        "input (use with --variant codon_sc and "
+                        "--mix-scales: ONE model trained jointly on all "
+                        "three shipped degradations, conditioned on "
+                        "which one it sees)")
     t.add_argument("--augment", choices=("full", "flips", "none"),
                    default="full",
                    help="patch augmentation: full = flips+rot90+photometric"
@@ -443,6 +452,21 @@ def cmd_eval(args) -> int:
         # (clip(out,0,1)*255).astype(uint8) truncation (CODON_X4/test.py:130)
         import jax.numpy as jnp
 
+        if getattr(args, "scale_cond", False):
+            # scale-conditioned variants (codon_sc): the depth stem takes
+            # (depth, constant scale/16 plane). Innermost wrapper so TTA
+            # flips the 1-channel depth and the constant plane is added
+            # after (a constant is flip/transpose-invariant); the forward
+            # masks x before the stem, so padded rows zero out as usual.
+            _cond_inner = raw_fwd
+            _cond_val = args.scale / 16.0
+
+            def raw_fwd(p, d, c, m):
+                plane = jnp.full_like(d[..., :1], _cond_val)
+                return _cond_inner(p, jnp.concatenate([d, plane], -1),
+                                   c, m)
+            print(f"scale conditioning: constant channel {_cond_val}")
+
         tta_n = 8 if getattr(args, "tta8", False) else (
             4 if getattr(args, "tta", False) else 0)
         if tta_n:
@@ -633,6 +657,7 @@ def cmd_train(args) -> int:
         names = [n for n in names if n not in excluded]
         print(f"holding out: {sorted(excluded)}")
     pair_names = list(names)   # one entry per (label, color, degraded) pair
+    pair_scales = [args.scale] * len(names)
     labels, colors, degraded = [], [], []
     for n in names:
         labels.append(imread_gray(os.path.join(scale_dir, "input_label",
@@ -670,6 +695,7 @@ def cmd_train(args) -> int:
                     colors.append(colors[i])
                     degraded.append(deg)
                     pair_names.append(n)
+                    pair_scales.append(s)
                     added += 1
         print(f"mix-scales: +{added} shipped degradation pairs from the "
               f"other scale dirs"
@@ -767,7 +793,10 @@ def cmd_train(args) -> int:
                                degraded=degraded if use_real else None,
                                edge_bias=getattr(args, "edge_bias", 0.0),
                                scene_weights=scene_weights,
-                               collage=getattr(args, "collage", 0.0))
+                               collage=getattr(args, "collage", 0.0),
+                               cond=([s / 16.0 for s in pair_scales]
+                                     if getattr(args, "scale_cond", False)
+                                     else None))
 
     mgr = None
     start_step = 0

@@ -48,6 +48,13 @@ class CodonConfig:
     width: int = 64
     num_mc: int = 5            # cross-attention MC stages
     num_fuse: int = 3          # fusion MC stages
+    # depth-stem input channels. 2 = scale-conditioned joint training
+    # (channel 1 carries a constant scale/16 plane so ONE model learns
+    # all three shipped degradations and can tell them apart — the
+    # disambiguation unconditioned --mix-scales lacked when it regressed;
+    # VERDICT r4 item 1 arm (b)). The global residual and the output head
+    # always read depth channel 0.
+    in_channels: int = 1
     use_cac: bool = True       # False -> BaseNet_RMCR_fuseRMCR-style (no gates)
     cac_reduction: int = 16    # channel-gate MLP bottleneck: 2W/reduction
     spatial_kernel: int = 5    # CAC spatial gate conv kernel
@@ -101,7 +108,7 @@ def init_codon_params(key: jax.Array, cfg: CodonConfig = CodonConfig()):
 
     params = {
         # depth tower
-        "input": conv(3, 1, w),
+        "input": conv(3, cfg.in_channels, w),
         "conv_input": conv(3, w, w),
         "conv1": conv(3, w, w),
         "conv2": conv(5, w, w),
@@ -321,7 +328,9 @@ def codon_forward(params, depth, color, *, cfg: CodonConfig = CodonConfig(),
             w = name_or_w
         return ops.conv2d(t, w, mask=mask, name=site)
 
-    residual = x
+    # channel 0 is always the depth map; extra channels (scale
+    # conditioning, in_channels=2) feed the stem but not the residual
+    residual = x[..., :1]
     inputs = relu(conv("conv_input", relu(conv("input", x))))
     inputs_c = relu(conv("conv_input_c", relu(conv("input_c", y))))
     # int8 handoff (active only when the checkpoint calibrated these

@@ -75,6 +75,17 @@ def _codon_fused(dtypes):
                    codon_forward_fused)
 
 
+@register("codon_sc", "scale-conditioned CODONNet: depth stem takes 2 "
+          "channels (depth, constant scale/16 plane) so ONE model "
+          "trains jointly on all three shipped degradations and can "
+          "tell them apart (train --mix-scales --scale-cond); residual "
+          "and head read channel 0. No dead heads (new lineage, no "
+          "reference-checkpoint compat needed)")
+def _codon_sc(dtypes):
+    cfg = CodonConfig(dead_heads=False, in_channels=2, dtypes=dtypes)
+    return Variant("codon_sc", cfg, init_codon_params, codon_forward)
+
+
 @register("codon_x16", "CODONNet without dead attention heads "
           "(reference CODON_x16.py:92)")
 def _codon_x16(dtypes):

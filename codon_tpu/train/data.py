@@ -81,6 +81,12 @@ class PatchSampler:
     # brushes, Cones' lattice) that 7-scene training sets under-serve
     # (ART_CONES.md; VERDICT r4 next-round item 1, data axis)
     collage: float = 0.0
+    # per-pair conditioning scalar (scale-conditioned joint training):
+    # when set, the depth batch gains a second constant channel carrying
+    # cond[i] for whichever pair each patch was cut from — pairs pooled
+    # from several scale dirs (cli --mix-scales) then train ONE model
+    # that knows which degradation it is refining
+    cond: List[float] = None
 
     def __post_init__(self):
         import cv2
@@ -96,6 +102,9 @@ class PatchSampler:
                 f"{self.patch} (e.g. {shapes}); shrink --patch or drop "
                 f"them")
         self._step = 0   # cursor for the convenience sample() wrapper
+        if self.cond is not None and len(self.cond) != len(self.labels):
+            raise ValueError(f"cond has {len(self.cond)} entries for "
+                             f"{len(self.labels)} images")
         if self.scene_weights is not None:
             if len(self.scene_weights) != len(self.labels):
                 raise ValueError(
@@ -174,7 +183,8 @@ class PatchSampler:
         rng = np.random.RandomState(
             np.random.SeedSequence((self.seed, step)).generate_state(8))
         B, P = self.batch, self.patch
-        depth = np.empty((B, P, P, 1), np.float32)
+        dch = 1 if self.cond is None else 2
+        depth = np.empty((B, P, P, dch), np.float32)
         color = np.empty((B, P, P, 1), np.float32)
         label = np.empty((B, P, P, 1), np.float32)
         for b in range(B):
@@ -215,6 +225,8 @@ class PatchSampler:
                 lp = s * lp + t
                 dp = s * dp + t
             depth[b, ..., 0] = dp
+            if self.cond is not None:
+                depth[b, ..., 1] = self.cond[i]
             color[b, ..., 0] = cp
             label[b, ..., 0] = lp
         return {"depth": depth, "color": color, "label": label,

@@ -17,6 +17,11 @@ import sys
 
 import numpy as np
 
+# host-side weight averaging: never claim the (single-client) TPU — a
+# second axon client blocks behind a live training chain indefinitely
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, ".")
 from codon_tpu.checkpoint import load_npz, save_npz  # noqa: E402
 

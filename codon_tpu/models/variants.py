@@ -65,10 +65,11 @@ def _codon(dtypes):
 
 
 @register("codon_fused", "CODONNet with merged-tower grouped convs — "
-          "numerically identical, same checkpoints; float path only "
-          "(no int8-static site names) and measured SLOWER than the "
-          "packed-cell codon forward on v5e — an ablation point, not "
-          "the shipping lowering")
+          "numerically identical, same checkpoints; runs the full quant "
+          "family too (compound grouped site names resolve to the "
+          "packed-site scales). Measured SLOWER than the packed-cell "
+          "codon forward on v5e — an ablation point, not the shipping "
+          "lowering")
 def _codon_fused(dtypes):
     cfg = CodonConfig(dead_heads=True, dtypes=dtypes)
     return Variant("codon_fused", cfg, init_codon_params,

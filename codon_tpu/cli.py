@@ -211,6 +211,13 @@ def _build_argparser() -> argparse.ArgumentParser:
                    help="bake the full 8-transform dihedral self-ensemble "
                         "(quality-flagship serving config when combined "
                         "with --dtype int8); implies --tta")
+    x.add_argument("--scale", type=int, choices=(4, 8, 16), default=4,
+                   help="upsampling factor baked into --scale-cond "
+                        "artifacts")
+    x.add_argument("--scale-cond", action="store_true",
+                   help="bake the constant scale/16 conditioning plane "
+                        "into the artifact (codon_sc variants; callers "
+                        "still feed 1-channel depth)")
 
     i = sub.add_parser("info", help="model + device summary")
     i.add_argument("--variant", default="codon")
@@ -959,7 +966,10 @@ def cmd_export(args) -> int:
     tta_n = (8 if getattr(args, "tta8", False)
              else 4 if getattr(args, "tta", False) else 0)
     n = export_forward(variant, params, (args.height, args.width),
-                       args.out, ops=ops, mask=args.mask, tta=tta_n)
+                       args.out, ops=ops, mask=args.mask, tta=tta_n,
+                       scale_cond=(args.scale / 16.0
+                                   if getattr(args, "scale_cond", False)
+                                   else None))
     import jax
     print(f"exported {args.variant} {args.width}x{args.height} "
           f"[{args.dtype}{f'+tta{tta_n}' if tta_n else ''}] "

@@ -25,7 +25,8 @@ import numpy as np
 
 
 def export_forward(variant, params, hw: Tuple[int, int], path: str,
-                   ops=None, mask: bool = False, tta=False) -> int:
+                   ops=None, mask: bool = False, tta=False,
+                   scale_cond: float = None) -> int:
     """Serialize the forward to `path`. Returns the artifact size in bytes.
 
     hw: (H, W) of the (padded) input resolution.
@@ -39,6 +40,10 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
          dihedral group (adds the transposed quartet as a second batched
          forward at (W, H) — the quality-flagship eval config). The
          flagship serving config is tta=8 over a static-int8 ops backend.
+    scale_cond: bake the constant scale/16 conditioning plane into the
+         artifact (codon_sc variants) — the caller still feeds 1-channel
+         depth; the plane is appended inside the exported program,
+         beneath the TTA wrapper like the eval path.
     """
     import jax
     import jax.export
@@ -49,6 +54,12 @@ def export_forward(variant, params, hw: Tuple[int, int], path: str,
     img = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
 
     base = lambda p, d, c, m: variant.forward(p, d, c, mask=m, ops=ops)
+    if scale_cond is not None:
+        _inner = base
+
+        def base(p, d, c, m):
+            plane = jnp.full_like(d[..., :1], scale_cond)
+            return _inner(p, jnp.concatenate([d, plane], -1), c, m)
     if tta:
         n = 4 if tta is True else int(tta)
         from codon_tpu.models.tta import make_tta_forward

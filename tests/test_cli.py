@@ -543,3 +543,28 @@ def test_scale_conditioned_train_eval(tmp_path):
     v = get_variant("codon_sc")
     assert v.init(__import__("jax").random.PRNGKey(0))["input"].shape == \
         (3, 3, 2, 64)
+
+
+def test_export_scale_cond(tmp_path):
+    """export --scale-cond bakes the conditioning plane into the codon_sc
+    artifact: callers feed 1-channel depth and get the conditioned net."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    ck = str(tmp_path / "sc.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data,
+                   "--variant", "codon_sc", "--scale-cond", "--steps", "2",
+                   "--patch", "16", "--batch", "2", "--ckpt-out", ck,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    art = str(tmp_path / "sc.codonx")
+    rc = cli.main(["export", "--ckpt", ck, "--out", art, "--height", "24",
+                   "--width", "20", "--dtype", "fp32", "--variant",
+                   "codon_sc", "--scale", "4", "--scale-cond"])
+    assert rc == 0
+    from codon_tpu.serve import load_exported
+    fn = load_exported(art)
+    rng = np.random.RandomState(0)
+    d = rng.rand(1, 24, 20, 1).astype(np.float32)
+    c = rng.rand(1, 24, 20, 1).astype(np.float32)
+    out = np.asarray(fn(d, c))
+    assert out.shape == (1, 24, 20, 1) and np.isfinite(out).all()

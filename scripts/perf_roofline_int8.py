@@ -61,6 +61,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--device-loop", action="store_true",
+                    help="time each site inside a device-side fori_loop "
+                         "dependency chain instead of host-dispatched "
+                         "iterations — removes the per-dispatch host/"
+                         "tunnel overhead that pins small isolated "
+                         "programs at ~10-15 ms on this platform (first "
+                         "run's artifact showed confuse 1x1 'costing' "
+                         "10.3 ms = dispatch floor, not compute)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +102,35 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / args.iters * 1e3
 
+    from jax import lax
+
+    def chain_ms(op, x0, feed_sc, iters=16):
+        """ms/op from a device-side dependency chain: y=op(x) feeds back
+        into x's shape/dtype (slice or tile channels; re-quantize for the
+        int8 regime — the real epilogue), lax.fori_loop'd inside ONE jit.
+        Reported as (t_iters - t_1)/(iters-1): dispatch overhead and the
+        chain's boundary effects cancel."""
+        cin = x0.shape[-1]
+
+        def body(_, x):
+            y = op(x)
+            z = (y[..., :cin] if y.shape[-1] >= cin
+                 else jnp.concatenate([y] * (cin // y.shape[-1]), -1))
+            if x0.dtype == jnp.int8:
+                return quantize_static(z, feed_sc)
+            return z.astype(x0.dtype)
+
+        def prog(n):
+            jf = jax.jit(lambda x: lax.fori_loop(0, n, body, x))
+            sync(jf(x0))
+            sync(jf(x0))
+            t0 = time.perf_counter()
+            sync(jf(x0))
+            return time.perf_counter() - t0
+
+        t_k, t_1 = prog(iters), prog(1)
+        return max(t_k - t_1, 1e-9) / (iters - 1) * 1e3
+
     rows = []
     total_float = total_int8 = total_tflop = 0.0
     for site, wkeys, k, cin, cout, n in SITES:
@@ -104,10 +141,15 @@ def main():
         x = jax.device_put(
             (rng.rand(B, H, W, cin) - 0.5).astype(np.float32) * 0.5)
         xb = x.astype(jnp.bfloat16)
-        ms_f = timeit(lambda t: ops.conv2d(t, wkern, name=site), xb)
         sc = jnp.asarray(np.asarray(scales[site]), jnp.float32)
         x8 = jax.jit(lambda t: quantize_static(t, sc))(xb)
-        ms_q = timeit(lambda t: ops.conv2d(t, wkern, name=site), x8)
+        op = lambda t: ops.conv2d(t, wkern, name=site)
+        if args.device_loop:
+            ms_f = chain_ms(op, xb, sc)
+            ms_q = chain_ms(op, x8, sc)
+        else:
+            ms_f = timeit(op, xb)
+            ms_q = timeit(op, x8)
         tflop = 2 * B * H * W * k * k * cin * cout / 1e12
         rows.append({
             "site": site, "k": k, "cin": cin, "cout": cout, "count": n,

@@ -108,6 +108,12 @@ def _build_argparser() -> argparse.ArgumentParser:
     t.add_argument("--weight-decay", type=float, default=0.0,
                    help="decoupled weight decay (regularizer for tiny "
                         "training sets, e.g. holdout runs)")
+    t.add_argument("--clip-norm", type=float, default=0.0,
+                   help=">0: clip the global gradient norm before the "
+                        "optimizer update — guards against the spike-"
+                        "driven dead-ReLU collapse that killed the first "
+                        "scale-conditioned joint run (grad_norm 751 at "
+                        "step 1, total ReLU death by step ~7k)")
     t.add_argument("--dtype", choices=("bf16", "fp32", "fp16"),
                    default="bf16")
     t.add_argument("--seed", type=int, default=0)
@@ -723,6 +729,16 @@ def cmd_train(args) -> int:
                                              loop_impl="scan"))
     params = (load_npz(args.ckpt_in) if args.ckpt_in
               else variant.init(jax.random.PRNGKey(args.seed)))
+    if (args.ckpt_in and getattr(variant.cfg, "in_channels", 1) == 2
+            and params["input"].shape[2] == 1):
+        # scale-conditioned warm start from a 1-channel ancestor: see
+        # widen_stem_params (function-preserving zero pad; the
+        # from-scratch alternative collapsed into total ReLU death).
+        from codon_tpu.models.codon_net import widen_stem_params
+        params = widen_stem_params(params, variant.cfg.in_channels)
+        print(f"warm start: widened 1-channel stem -> "
+              f"{params['input'].shape} with a zero conditioning slice "
+              f"(function-preserving)")
     act_scales = (params.pop("act_scales", None)
                   if isinstance(params, dict) else None)
     if act_scales is not None and not getattr(args, "qat_static", False):
@@ -788,6 +804,8 @@ def cmd_train(args) -> int:
                              warmup_steps=args.warmup,
                              weight_decay=getattr(args, "weight_decay",
                                                   0.0),
+                             clip_norm=(getattr(args, "clip_norm", 0.0)
+                                        or None),
                              grad_weight=getattr(args, "grad_loss", 0.0),
                              total_steps=args.steps), ops=qat_ops)
     opt_state = tx.init(params)
@@ -862,6 +880,8 @@ def cmd_train(args) -> int:
         print(f"ema: decay {ema_decay} -> "
               f"{_ema_path(args.ckpt_out)}")
 
+    from codon_tpu.train.trainer import CollapseDetector
+    collapse = CollapseDetector()
     t0 = time.time()
     for i in range(start_step + 1, args.steps + 1):
         params, opt_state, m = step(params, opt_state, sampler.sample())
@@ -869,10 +889,28 @@ def cmd_train(args) -> int:
             ema_params = ema_update(ema_params, params)
         if i % args.log_every == 0 or i == 1:
             loss = float(m["loss"])  # D2H sync point
+            gnorm = float(m["grad_norm"])
             rate = (i - start_step) * args.batch / (time.time() - t0)
             print(f"step {i:6d}  loss {loss:.5f}  "
-                  f"grad_norm {float(m['grad_norm']):.3f}  "
+                  f"grad_norm {gnorm:.3f}  "
                   f"{rate:.0f} patches/s")
+            if collapse.update(gnorm):
+                # dead network: every remaining step is a no-op. Save the
+                # state for post-mortem and fail the run loudly so chains
+                # gate on it instead of shipping an identity model.
+                sampler.close()
+                if mgr is not None:
+                    mgr.close()
+                dead = args.ckpt_out + ".collapsed"
+                save_npz(dead, params)
+                raise SystemExit(
+                    f"TRAIN COLLAPSE at step {i}: global grad norm has "
+                    f"been exactly 0.0 for {collapse.patience} "
+                    f"consecutive log intervals — the network is a dead-"
+                    f"ReLU fixed point (output == residual passthrough) "
+                    f"and cannot recover. State saved to {dead} for "
+                    f"inspection. Retry with --clip-norm, a lower --lr, "
+                    f"or a --ckpt-in warm start.")
         if mgr is not None and (i % args.save_every == 0
                                 or i == args.steps):
             # async: training continues while the tree serializes

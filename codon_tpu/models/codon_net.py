@@ -161,6 +161,27 @@ def init_codon_params(key: jax.Array, cfg: CodonConfig = CodonConfig()):
     return params
 
 
+def widen_stem_params(params, in_channels: int = 2):
+    """Function-preserving stem widening for scale-conditioned warm starts.
+
+    Pads the 1-channel `input` stem kernel to `in_channels` with ZERO
+    slices, so a codon_sc model initialized from a trained 1-channel
+    ancestor computes EXACTLY the ancestor's function for every value of
+    the conditioning plane; joint training then learns the conditioning
+    as a delta from a working basin. (The from-scratch alternative
+    collapsed into total ReLU death — checkpoints/x4_holdout_sc.npz.)
+    """
+    import numpy as np
+    k = np.asarray(params["input"])
+    if k.shape[2] != 1:
+        raise ValueError(f"widen_stem_params expects a 1-channel stem, "
+                         f"got {k.shape}")
+    out = dict(params)
+    out["input"] = np.concatenate(
+        [k] + [np.zeros_like(k)] * (in_channels - 1), axis=2)
+    return out
+
+
 # --------------------------------------------------------------------------
 # kernel packing (cell_impl="packed")
 # --------------------------------------------------------------------------

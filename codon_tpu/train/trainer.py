@@ -49,6 +49,33 @@ class TrainState:
     step: int = 0
 
 
+class CollapseDetector:
+    """Dead-network failure detection (SURVEY §5 failure-detection tier).
+
+    A ReLU net can fall into a fixed point where EVERY path from the
+    parameters to the output is closed — the output degenerates to the
+    residual passthrough and the global grad norm is exactly 0.0 forever
+    after. The r5 scale-conditioned run hit this at step ~7k and silently
+    burned 16k more steps (loss stays finite at the identity level, so
+    loss-based monitoring never fires). An exactly-zero global norm over
+    a full float32 parameter tree is unreachable for a live network, so
+    `patience` consecutive zero observations (log steps, i.e. hundreds of
+    train steps apart) is a certain diagnosis, not a heuristic.
+    """
+
+    def __init__(self, patience: int = 3):
+        self.patience = patience
+        self.zero_streak = 0
+
+    def update(self, grad_norm: float) -> bool:
+        """Feed one observed global grad norm; True => training is dead."""
+        if grad_norm == 0.0:
+            self.zero_streak += 1
+        else:
+            self.zero_streak = 0
+        return self.zero_streak >= self.patience
+
+
 def make_optimizer(cfg: TrainConfig):
     parts = []
     if cfg.clip_norm:

@@ -568,3 +568,28 @@ def test_export_scale_cond(tmp_path):
     c = rng.rand(1, 24, 20, 1).astype(np.float32)
     out = np.asarray(fn(d, c))
     assert out.shape == (1, 24, 20, 1) and np.isfinite(out).all()
+
+
+def test_scale_cond_warm_start_widens_stem(tmp_path, capsys):
+    """train --variant codon_sc --ckpt-in <1-channel ancestor> widens the
+    stem function-preservingly (zero conditioning slice) instead of
+    failing on the shape mismatch — the recovery path for the from-
+    scratch sc collapse (ROUND5.md session 4)."""
+    data = str(tmp_path / "data")
+    _tiny_dataset(data)
+    anc = str(tmp_path / "anc.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data,
+                   "--variant", "codon_x16", "--steps", "2",
+                   "--patch", "16", "--batch", "2", "--ckpt-out", anc,
+                   "--log-every", "1", "--dtype", "fp32"])
+    assert rc == 0
+    ck = str(tmp_path / "sc.npz")
+    rc = cli.main(["train", "--scale", "4", "--data-dir", data,
+                   "--variant", "codon_sc", "--scale-cond", "--steps", "2",
+                   "--patch", "16", "--batch", "2", "--ckpt-in", anc,
+                   "--ckpt-out", ck, "--log-every", "1", "--dtype", "fp32",
+                   "--clip-norm", "5.0"])
+    assert rc == 0
+    assert "widened 1-channel stem" in capsys.readouterr().out
+    from codon_tpu.checkpoint import load_npz
+    assert load_npz(ck)["input"].shape == (3, 3, 2, 64)

@@ -216,3 +216,91 @@ def test_grad_loss_masked_and_additive():
     batch2 = {k: np.array(a) for k, a in batch.items()}
     batch2["label"][0, 3, 4, 0] += 123.0
     assert np.isclose(run(0.7), with_grad, rtol=1e-5)
+
+
+def test_collapse_detector_patience_and_reset():
+    """Exactly-zero global grad norms for `patience` consecutive
+    observations diagnose dead-ReLU collapse; ANY live norm (however
+    small) resets the streak — the r5 scale-conditioned run burned 17k
+    steps past its step-~7k death because nothing watched for this."""
+    from codon_tpu.train.trainer import CollapseDetector
+    cd = CollapseDetector(patience=3)
+    assert not cd.update(0.0)
+    assert not cd.update(0.0)
+    assert cd.update(0.0)
+
+    cd = CollapseDetector(patience=3)
+    assert not cd.update(0.0)
+    assert not cd.update(0.0)
+    assert not cd.update(1e-30)  # live gradient resets the streak
+    assert not cd.update(0.0)
+    assert not cd.update(0.0)
+    assert cd.update(0.0)
+    assert cd.update(0.0)        # stays tripped while norms stay zero
+
+
+def test_clip_norm_damps_spike_aftermath():
+    """clip_norm guards Adam's second moment against one-step spikes.
+
+    Adam is invariant to a global rescale of the whole gradient SEQUENCE,
+    so the observable harm of a spike is temporal: v inherits spike^2 and
+    decays at 0.999/step, muting hundreds of subsequent ordinary steps
+    (the regime that preceded the sc run's dead-ReLU collapse: grad_norm
+    751 at step 1 vs ~1 thereafter). With clip_norm the post-spike run
+    must move the parameters at the ordinary Adam scale."""
+    import optax
+    from codon_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.zeros(4, jnp.float32)}
+    spike = {"w": jnp.full(4, 1e6, jnp.float32)}
+    normal = {"w": jnp.full(4, 1e-2, jnp.float32)}
+
+    def moved_after_spike(cfg, steps=300):
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        u1, st = tx.update(spike, st, params)
+        p = optax.apply_updates(params, u1)
+        p0 = p
+        for _ in range(steps):
+            u, st = tx.update(normal, st, p)
+            p = optax.apply_updates(p, u)
+        return float(jnp.abs(p["w"] - p0["w"]).max())
+
+    lr = 1e-4
+    unclipped = moved_after_spike(TrainConfig(learning_rate=lr))
+    clipped = moved_after_spike(TrainConfig(learning_rate=lr,
+                                            clip_norm=1.0))
+    # clipped: ~300 ordinary Adam steps of ~lr each; unclipped: v ~ 1e12
+    # freezes the run (m decays in ~tens of steps, v in ~thousands)
+    assert clipped > 5 * unclipped, (clipped, unclipped)
+    assert clipped > 30 * lr, clipped
+
+
+def test_widen_stem_params_function_preserving():
+    """widen_stem_params pads the 1-channel stem with ZERO slices: the
+    widened codon_sc model computes the ancestor's function for EVERY
+    conditioning value, so joint training starts from a working basin
+    instead of the from-scratch init that collapsed."""
+    from codon_tpu.models.codon_net import widen_stem_params
+
+    v1 = get_variant("codon_x16")        # 1-channel, dead_heads=False
+    vsc = get_variant("codon_sc")        # 2-channel twin
+    params1 = v1.init(jax.random.PRNGKey(7))
+    rng = np.random.RandomState(7)
+    d = rng.rand(1, 16, 16, 1).astype(np.float32)
+    c = rng.rand(1, 16, 16, 1).astype(np.float32)
+    ref = np.asarray(v1.forward(params1, d, c))
+
+    wide = widen_stem_params(params1, 2)
+    assert wide["input"].shape == (3, 3, 2, 64)
+    assert np.all(np.asarray(wide["input"])[:, :, 1, :] == 0.0)
+    for cv in (0.0, 0.25, 1.0):
+        x2 = np.concatenate([d, np.full_like(d, cv)], axis=-1)
+        out = np.asarray(vsc.forward(wide, x2, c))
+        np.testing.assert_allclose(out, ref, atol=2e-6, rtol=0)
+
+    # guards: only 1-channel stems widen; params are not mutated
+    assert np.asarray(params1["input"]).shape == (3, 3, 1, 64)
+    import pytest
+    with pytest.raises(ValueError):
+        widen_stem_params(wide, 3)

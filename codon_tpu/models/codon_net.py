@@ -169,7 +169,8 @@ def widen_stem_params(params, in_channels: int = 2):
     ancestor computes EXACTLY the ancestor's function for every value of
     the conditioning plane; joint training then learns the conditioning
     as a delta from a working basin. (The from-scratch alternative
-    collapsed into total ReLU death — checkpoints/x4_holdout_sc.npz.)
+    collapsed into total ReLU death —
+    checkpoints/x4_holdout_sc_collapsed.npz.)
     """
     import numpy as np
     k = np.asarray(params["input"])
